@@ -1,0 +1,54 @@
+"""Force-backend dispatch.
+
+The analog of the reference's kernel-family selection (``REDUCTION``/``FADL``
+compile-time flags + stdin kernel-type prompt, ``constants.h:4-7`` /
+``main.cpp:185-206``), made a runtime choice behind one function.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..config import SimConfig
+from .forces_xla import forces_chunked, forces_nxn
+
+# Full NxN materialization is O(N^2); cap where its ~(N^2 * 4B) buffers stay
+# comfortably in HBM and compile time stays sane.
+_NXN_MAX_N = 16384
+
+
+def resolve_impl(cfg: SimConfig) -> str:
+    """Resolve impl='auto' to a concrete backend for this process's devices."""
+    impl = cfg.impl
+    if impl != "auto":
+        return impl
+    on_tpu = jax.default_backend() == "tpu"
+    if cfg.n_bodies <= 4096 and not on_tpu:
+        return "xla_nxn"
+    if on_tpu:
+        return "pallas"
+    return "xla"
+
+
+def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
+                   impl: "str | None" = None) -> jax.Array:
+    """Softened all-pairs gravitational acceleration (N,3)."""
+    impl = impl or resolve_impl(cfg)
+    if impl == "xla_nxn":
+        if pos.shape[0] > _NXN_MAX_N:
+            raise ValueError(
+                f"impl='xla_nxn' materializes O(N^2); N={pos.shape[0]} > "
+                f"{_NXN_MAX_N}. Use 'xla' or 'pallas'.")
+        return forces_nxn(pos, mass, cfg.eps2)
+    if impl == "xla":
+        return forces_chunked(pos, mass, cfg.eps2, chunk=cfg.chunk)
+    if impl == "pallas":
+        from .forces_pallas import forces_pallas
+        return forces_pallas(pos, mass, cfg.eps2,
+                             block_i=cfg.block_i, block_j=cfg.block_j)
+    if impl == "pallas_mxu":
+        from .forces_pallas import forces_pallas
+        return forces_pallas(pos, mass, cfg.eps2,
+                             block_i=cfg.block_i, block_j=cfg.block_j,
+                             use_mxu=True)
+    raise ValueError(f"unknown force impl {impl!r}")

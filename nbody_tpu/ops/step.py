@@ -1,0 +1,80 @@
+"""Jitted simulation step and multi-step drivers.
+
+The reference's host loop launches one kernel per step with a
+``cudaDeviceSynchronize`` barrier every iteration (``main.cpp:142-160``,
+``kernel.cu:644``) — two host<->device boundary crossings per step.  The
+TPU-native equivalent compiles the *whole run* into one XLA program: a single
+``step`` is a jitted function (force + fused integration, so pos/vel/acc never
+leave HBM), and ``run_steps`` wraps it in ``lax.fori_loop`` — zero host
+round-trips until the loop finishes.  ``run_trajectory`` is the ``lax.scan``
+variant that additionally captures snapshots on-device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..models.integrators import kdk_drift, kdk_kick, reference_update
+from ..models.state import SimState
+from .forces import compute_forces, resolve_impl
+
+
+def step(state: SimState, cfg: SimConfig, impl: "str | None" = None) -> SimState:
+    """One simulation step. Matches the semantics of one ``simulate`` call
+    (kernel.cu:628-645): forces from current positions, then the fused
+    half-kick + drift update (or KDK when configured)."""
+    impl = impl or resolve_impl(cfg)
+    if cfg.integrator == "reference":
+        acc = compute_forces(state.pos, state.mass, cfg, impl=impl)
+        pos, vel = reference_update(state.pos, state.vel, acc, cfg.dt)
+        return SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
+    elif cfg.integrator == "kdk":
+        # Kick-drift-kick: uses the acceleration stored from the previous
+        # step for the first half-kick (state.acc must hold a(x_n); seed with
+        # one force evaluation via `prime_kdk`).
+        vel_half = kdk_kick(state.vel, state.acc, cfg.dt)
+        pos = kdk_drift(state.pos, vel_half, cfg.dt)
+        acc = compute_forces(pos, state.mass, cfg, impl=impl)
+        vel = kdk_kick(vel_half, acc, cfg.dt)
+        return SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
+    raise ValueError(f"unknown integrator {cfg.integrator!r}")
+
+
+def prime_kdk(state: SimState, cfg: SimConfig,
+              impl: "str | None" = None) -> SimState:
+    """Seed state.acc = a(x_0) so the KDK integrator's first half-kick is
+    consistent."""
+    acc = compute_forces(state.pos, state.mass, cfg, impl=impl)
+    return state._replace(acc=acc)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "impl"))
+def run_steps(state: SimState, cfg: SimConfig, n_steps: int,
+              impl: "str | None" = None) -> SimState:
+    """Run n_steps inside one compiled fori_loop (the benchmark path)."""
+    return jax.lax.fori_loop(
+        0, n_steps, lambda _, s: step(s, cfg, impl=impl), state)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "snap_every", "impl"))
+def run_trajectory(
+        state: SimState, cfg: SimConfig, n_steps: int,
+        snap_every: int = 1,
+        impl: "str | None" = None) -> Tuple[SimState, jax.Array]:
+    """Run n_steps, capturing positions every ``snap_every`` steps on-device.
+
+    Returns (final_state, snapshots (n_steps//snap_every, N, 3)).
+    """
+    def outer(s, _):
+        s = jax.lax.fori_loop(
+            0, snap_every, lambda _, st: step(st, cfg, impl=impl), s)
+        return s, s.pos
+    n_snaps = n_steps // snap_every
+    final, snaps = jax.lax.scan(outer, state, None, length=n_snaps)
+    return final, snaps
