@@ -1,0 +1,88 @@
+"""Benchmark harness library (used by ``bench.py`` and ``nbody bench``).
+
+The reference ships no benchmark suite despite advertising one
+(``README.md:15``; SURVEY.md section 6) — this module is the real thing.
+Measures steady-state ms/step and GInteractions/s (interactions/step = N^2)
+with compile excluded and completion forced via device_get (see
+utils/timing.py for why block_until_ready is not trusted).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .config import SimConfig
+from .models.energy import energy_f64
+from .models.init import init_state
+from .ops.forces import resolve_impl
+from .ops.step import run_steps
+from .utils.timing import sync
+
+# North-star from BASELINE.md: >=300 GInter/s per chip at N=1M on v5e.
+BASELINE_GINTER_PER_S = 300.0
+
+
+def run_benchmark(n: int = 65536, steps: int = 20,
+                  impl: str = "auto", block_i: int = 256,
+                  block_j: int = 1024, chunk: int = 1024,
+                  shards: Optional[int] = None, comm: str = "ring",
+                  energy: bool = False, warmup_steps: int = 3,
+                  seed: int = 0) -> dict:
+    cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
+                    chunk=chunk, seed=seed)
+    impl_resolved = resolve_impl(cfg)
+    state = init_state(cfg)
+
+    mesh = None
+    if shards and shards > 1:
+        from .parallel.mesh import make_mesh
+        from .parallel.ring import run_steps_sharded
+        mesh = make_mesh(shards)
+
+        def advance(s, k):
+            return run_steps_sharded(s, cfg, mesh, k, impl=impl_resolved,
+                                     comm=comm)
+    else:
+        def advance(s, k):
+            return run_steps(s, cfg, k, impl=impl_resolved)
+
+    e0 = energy_f64(state, cfg.eps2) if energy else None
+
+    # Warmup (includes compile).
+    t0 = time.perf_counter()
+    state = advance(state, max(1, warmup_steps))
+    sync(state.pos)
+    compile_s = time.perf_counter() - t0
+
+    # Timed region.
+    t0 = time.perf_counter()
+    state = advance(state, steps)
+    sync(state.pos)
+    elapsed = time.perf_counter() - t0
+
+    e1 = energy_f64(state, cfg.eps2) if energy else None
+    ginter = n * n * steps / elapsed / 1e9
+    result = {
+        "metric": "GInteractions/s",
+        "value": round(ginter, 4),
+        "unit": "GInter/s",
+        "vs_baseline": round(ginter / BASELINE_GINTER_PER_S, 4),
+        "n_bodies": n,
+        "steps": steps,
+        "impl": impl_resolved,
+        "ms_per_step": round(elapsed / steps * 1000, 4),
+        "compile_plus_warmup_s": round(compile_s, 2),
+        "backend": jax.default_backend(),
+        "devices": jax.device_count() if shards else 1,
+        "shards": shards or 1,
+    }
+    if energy and e0 is not None:
+        scale = abs(e0) or 1.0
+        result["energy_drift"] = abs(e1 - e0) / scale
+    finite = bool(np.all(np.isfinite(np.asarray(state.pos[:64]))))
+    result["finite"] = finite
+    return result

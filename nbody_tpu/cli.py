@@ -1,0 +1,250 @@
+"""Command-line interface.
+
+The reference's UX is an interactive stdin dialog: kernel type (0=tiled,
+1=reduction), visualization y/n, step count (``main.cpp:163-228``), with
+everything else fixed at compile time in ``constants.h``.  Here every choice
+is a flag, runtime-switchable (SURVEY.md section 7 design translation).
+
+Subcommands:
+  run       simulate (the reference's main flow, headless or with frame export)
+  validate  lock-step differential test vs the CPU oracle
+            (the reference's dormant compareHostToDevice, validation.cpp:55)
+  bench     throughput sweep -> ms/step, GInter/s, optional energy drift
+  info      device properties (the reference's print_device_prop, utils.cpp:49)
+  render    rasterize a saved trajectory/checkpoint to PNG frames
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _add_sim_args(p: argparse.ArgumentParser):
+    p.add_argument("--n", type=int, default=8192,
+                   help="number of bodies (reference N_BODIES=8192)")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--eps2", type=float, default=0.002)
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "xla", "xla_nxn", "pallas", "pallas_mxu"],
+                   help="force backend (reference kernel-type prompt)")
+    p.add_argument("--integrator", default="reference",
+                   choices=["reference", "kdk"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init", default="uniform", choices=["uniform", "plummer"])
+    p.add_argument("--max-pos", type=float, default=100_000.0)
+    p.add_argument("--min-mass", type=float, default=100_000.0)
+    p.add_argument("--max-mass", type=float, default=1_000_000_000.0)
+    p.add_argument("--block-i", type=int, default=256)
+    p.add_argument("--block-j", type=int, default=1024)
+    p.add_argument("--chunk", type=int, default=1024)
+    p.add_argument("--shards", type=int, default=0,
+                   help="shard bodies over this many devices (0 = single)")
+    p.add_argument("--comm", default="ring", choices=["ring", "allgather"])
+
+
+def _make_cfg(args):
+    from .config import SimConfig
+    return SimConfig(
+        n_bodies=args.n, steps=args.steps, dt=args.dt, eps2=args.eps2,
+        impl=args.impl, integrator=args.integrator, seed=args.seed,
+        max_pos=args.max_pos, min_mass=args.min_mass, max_mass=args.max_mass,
+        block_i=args.block_i, block_j=args.block_j, chunk=args.chunk,
+        viz=getattr(args, "viz", False),
+        viz_every=getattr(args, "viz_every", 1) or 1,
+    )
+
+
+def _make_sim(args, cfg, logger):
+    from .models.init import init_state, plummer_state
+    from .models.simulation import Simulation
+    mesh = None
+    if args.shards:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(args.shards)
+    if getattr(args, "resume", None):
+        sim = Simulation.resume(args.resume, cfg=cfg, logger=logger)
+        sim.mesh = mesh
+        return sim
+    state = (plummer_state(cfg) if args.init == "plummer"
+             else init_state(cfg))
+    return Simulation(cfg, state=state, logger=logger, mesh=mesh)
+
+
+def cmd_run(args) -> int:
+    from .io.logger import RunLogger
+    logger = RunLogger(jsonl_path=args.log_jsonl, csv_path=args.log_csv,
+                       quiet=args.quiet)
+    cfg = _make_cfg(args)
+    sim = _make_sim(args, cfg, logger)
+    streamer = None
+    if args.viz:
+        from .viz.stream import FrameStreamer
+        streamer = FrameStreamer(args.viz_dir)
+    try:
+        result = sim.run(
+            n_steps=args.steps, log_every=args.log_every,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            frame_streamer=streamer,
+            track_energy=args.energy)
+    finally:
+        if streamer is not None:
+            streamer.close()
+        logger.close()
+    if not args.quiet:
+        print(f"Simulation complete: {result.steps_run} steps, "
+              f"{result.ms_per_step:.3f} ms/step, "
+              f"{result.ginter_per_s:.1f} GInter/s"
+              + (f", energy drift {result.energy_drift:.3e}"
+                 if result.energy_drift is not None else ""))
+        if streamer is not None:
+            print(f"{streamer.frames_written} frames -> {args.viz_dir}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Lock-step differential test against the CPU oracle — the reference's
+    compareHostToDevice (validation.cpp:55-103) as a first-class command."""
+    from .config import SimConfig
+    from .models.init import init_state
+    from .ops.step import run_steps
+    from .oracle.numpy_oracle import oracle_run, relative_mismatch
+    cfg = _make_cfg(args)
+    state = init_state(cfg)
+    pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
+    mass = np.asarray(state.mass)
+
+    dev = run_steps(state, cfg, args.steps)
+    dtype = np.float32 if args.oracle_f32 else np.float64
+    opos, ovel, oacc = oracle_run(pos0, vel0, mass, cfg.eps2, cfg.dt,
+                                  args.steps, dtype=dtype)
+    ok = True
+    for name, d, o, abs_tol in (
+            ("pos", dev.pos, opos, args.abs_tol_pos),
+            ("vel", dev.vel, ovel, args.abs_tol_vel),
+            ("acc", dev.acc, oacc, args.abs_tol_acc)):
+        bad = relative_mismatch(np.asarray(d), o, args.rel_tol, abs_tol)
+        frac = float(bad.mean())
+        status = "OK " if frac <= args.max_bad_frac else "FAIL"
+        if frac > args.max_bad_frac:
+            ok = False
+        print(f"[{status}] {name}: {frac:.4%} of components outside "
+              f"{args.rel_tol:.1%} relative tolerance "
+              f"({int(bad.sum())}/{bad.size})")
+    print("Verification " + ("PASSED" if ok else "FAILED")
+          + f" after {args.steps} lock-step steps vs "
+          f"{'float32' if args.oracle_f32 else 'float64'} oracle")
+    return 0 if ok else 1
+
+
+def cmd_bench(args) -> int:
+    from .bench_lib import run_benchmark
+    result = run_benchmark(
+        n=args.n, steps=args.steps, impl=args.impl,
+        block_i=args.block_i, block_j=args.block_j, chunk=args.chunk,
+        shards=args.shards or None, comm=args.comm,
+        energy=args.energy, warmup_steps=args.warmup)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .utils.device import print_device_info
+    print_device_info()
+    return 0
+
+
+def cmd_render(args) -> int:
+    from .config import SimConfig
+    from .viz.raster import render_frame
+    from .viz.stream import FrameStreamer
+    import jax.numpy as jnp
+    with np.load(args.trajectory) as z:
+        if "snapshots" in z:
+            snaps = z["snapshots"]
+        else:  # checkpoint: single frame
+            snaps = z["pos"][None]
+        mass = z["mass"] if "mass" in z else np.full(
+            (snaps.shape[1],), 1e5, np.float32)
+    cfg = SimConfig(n_bodies=snaps.shape[1])
+    with FrameStreamer(args.out_dir) as fs:
+        for i, pos in enumerate(snaps):
+            frame = render_frame(
+                jnp.asarray(pos), jnp.asarray(mass), cfg.min_mass,
+                cfg.max_mass, args.max_view, args.width, args.height)
+            fs.submit(i, frame)
+    print(f"rendered {snaps.shape[0]} frames -> {args.out_dir}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="nbody",
+        description="TPU-native all-pairs N-body simulation framework")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    runp = sub.add_parser("run", help="run a simulation")
+    _add_sim_args(runp)
+    runp.add_argument("--viz", action="store_true",
+                      help="stream PNG frames (replaces the GL window)")
+    runp.add_argument("--viz-dir", default="frames")
+    runp.add_argument("--viz-every", type=int, default=1)
+    runp.add_argument("--log-every", type=int, default=100)
+    runp.add_argument("--log-jsonl", default=None)
+    runp.add_argument("--log-csv", default=None)
+    runp.add_argument("--checkpoint", default=None)
+    runp.add_argument("--checkpoint-every", type=int, default=0)
+    runp.add_argument("--resume", default=None,
+                      help="resume from a checkpoint file")
+    runp.add_argument("--energy", action="store_true",
+                      help="report total-energy drift (float64)")
+    runp.add_argument("--quiet", action="store_true")
+    runp.set_defaults(fn=cmd_run)
+
+    vp = sub.add_parser("validate",
+                        help="lock-step differential test vs CPU oracle")
+    _add_sim_args(vp)
+    vp.add_argument("--rel-tol", type=float, default=0.01,
+                    help="per-component relative tolerance "
+                         "(reference: 1%%, validation.cpp:144)")
+    vp.add_argument("--abs-tol-pos", type=float, default=1.0)
+    vp.add_argument("--abs-tol-vel", type=float, default=1e-2)
+    vp.add_argument("--abs-tol-acc", type=float, default=1e-6)
+    vp.add_argument("--max-bad-frac", type=float, default=0.0)
+    vp.add_argument("--oracle-f32", action="store_true",
+                    help="run the oracle in float32 (exactly the reference's "
+                         "CPU_compute precision) instead of float64")
+    vp.set_defaults(fn=cmd_validate)
+
+    bp = sub.add_parser("bench", help="throughput benchmark")
+    _add_sim_args(bp)
+    bp.add_argument("--warmup", type=int, default=3)
+    bp.add_argument("--energy", action="store_true")
+    bp.set_defaults(fn=cmd_bench)
+
+    ip = sub.add_parser("info", help="device properties")
+    ip.set_defaults(fn=cmd_info)
+
+    rp = sub.add_parser("render", help="rasterize saved trajectory to PNGs")
+    rp.add_argument("trajectory")
+    rp.add_argument("--out-dir", default="frames")
+    rp.add_argument("--width", type=int, default=800)
+    rp.add_argument("--height", type=int, default=600)
+    rp.add_argument("--max-view", type=float, default=200_000.0)
+    rp.set_defaults(fn=cmd_render)
+    return ap
+
+
+def main(argv: Optional["list[str]"] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,166 @@
+"""High-level simulation driver.
+
+The runtime orchestration layer — the role of the reference's
+``simulationLoop*`` family (``main.cpp:20-160``) plus everything the
+reference lacks around it (SURVEY.md section 5): structured logging,
+checkpoint/resume, NaN watchdog, energy accounting, and headless frame
+streaming.  The hot path stays fully compiled: steps run in jitted chunks
+(``lax.fori_loop``), and the host only intervenes at reporting cadence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import SimConfig
+from ..io.checkpoint import load_checkpoint, save_checkpoint
+from ..io.logger import RunLogger
+from ..models.energy import energy_f64
+from ..models.init import init_state
+from ..models.state import SimState
+from ..ops.forces import resolve_impl
+from ..ops.step import prime_kdk, run_steps
+from ..utils.timing import StepTimer, sync
+
+
+@dataclasses.dataclass
+class SimResult:
+    state: SimState
+    steps_run: int
+    ms_per_step: float
+    ginter_per_s: float
+    energy_initial: Optional[float] = None
+    energy_final: Optional[float] = None
+
+    @property
+    def energy_drift(self) -> Optional[float]:
+        if self.energy_initial is None or self.energy_final is None:
+            return None
+        scale = abs(self.energy_initial) or 1.0
+        return abs(self.energy_final - self.energy_initial) / scale
+
+
+class Simulation:
+    """Owns a state + config; runs chunks of compiled steps with host-side
+    services (logging / checkpoints / viz / watchdog) between chunks."""
+
+    def __init__(self, cfg: SimConfig, state: Optional[SimState] = None,
+                 logger: Optional[RunLogger] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.logger = logger or RunLogger(quiet=True)
+        self.mesh = mesh
+        self.impl = resolve_impl(cfg)
+        self.state = state if state is not None else init_state(cfg)
+        if cfg.integrator == "kdk":
+            self.state = prime_kdk(self.state, cfg, impl=self.impl)
+        self.step_count = 0
+
+    @classmethod
+    def resume(cls, path: str, cfg: Optional[SimConfig] = None,
+               logger: Optional[RunLogger] = None) -> "Simulation":
+        state, step_count, saved_cfg = load_checkpoint(path)
+        cfg = cfg or saved_cfg
+        if cfg is None:
+            raise ValueError(
+                f"checkpoint {path} has no embedded config; pass cfg=")
+        sim = cls(cfg, state=state, logger=logger)
+        sim.step_count = step_count
+        return sim
+
+    def _run_chunk(self, n: int) -> None:
+        if self.mesh is not None:
+            from ..parallel.ring import run_steps_sharded
+            self.state = run_steps_sharded(
+                self.state, self.cfg, self.mesh, n, impl=self.impl)
+        else:
+            self.state = run_steps(self.state, self.cfg, n, impl=self.impl)
+
+    def run(self, n_steps: Optional[int] = None,
+            log_every: int = 100,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 0,
+            frame_streamer=None,
+            track_energy: bool = False,
+            nan_watchdog: bool = True) -> SimResult:
+        n_steps = n_steps if n_steps is not None else self.cfg.steps
+        cfg = self.cfg
+        timer = StepTimer(n_bodies=cfg.n_bodies)
+
+        e0 = energy_f64(self.state, cfg.eps2) if track_energy else None
+        self.logger.banner(
+            f"== nbody_tpu: N={cfg.n_bodies} steps={n_steps} "
+            f"impl={self.impl} integrator={cfg.integrator} "
+            f"dt={cfg.dt} eps2={cfg.eps2} "
+            f"backend={jax.default_backend()} ==")
+
+        # Chunk size: log cadence, viz cadence, and checkpoint cadence all
+        # bound how long the device runs uninterrupted.
+        cadences = [log_every if log_every > 0 else n_steps]
+        if frame_streamer is not None and cfg.viz_every > 0:
+            cadences.append(cfg.viz_every)
+        if checkpoint_every > 0:
+            cadences.append(checkpoint_every)
+        chunk = max(1, min(cadences))
+
+        done = 0
+        frame_idx = 0
+        # Warm-up compile outside the timed region (first call compiles).
+        while done < n_steps:
+            todo = min(chunk, n_steps - done)
+            first = done == 0
+            if not first:
+                timer.start()
+            self._run_chunk(todo)
+            sync(self.state.pos)
+            if not first:
+                timer.stop(todo)
+            done += todo
+            self.step_count += todo
+
+            if nan_watchdog:
+                probe = np.asarray(self.state.pos[:1])
+                if not np.all(np.isfinite(probe)):
+                    raise FloatingPointError(
+                        f"non-finite positions at step {self.step_count}; "
+                        f"reduce dt or check initial conditions")
+
+            if frame_streamer is not None and cfg.viz_every > 0 and (
+                    done % cfg.viz_every == 0 or done == n_steps):
+                from ..viz.raster import render_frame
+                frame = render_frame(
+                    self.state.pos, self.state.mass, cfg.min_mass,
+                    cfg.max_mass, cfg.max_view, cfg.viz_width,
+                    cfg.viz_height)
+                frame_streamer.submit(frame_idx, frame)
+                frame_idx += 1
+
+            if checkpoint_every > 0 and checkpoint_path and (
+                    done % checkpoint_every == 0 or done == n_steps):
+                save_checkpoint(checkpoint_path, self.state,
+                                self.step_count, cfg)
+
+            if log_every > 0 and timer.total_steps:
+                self.logger.log(
+                    step=self.step_count,
+                    sim_time=self.step_count * cfg.dt,
+                    ms_per_step=round(timer.ms_per_step, 4),
+                    steps_per_s=round(timer.steps_per_s, 3),
+                    ginter_per_s=round(timer.ginter_per_s, 2),
+                )
+
+        e1 = energy_f64(self.state, cfg.eps2) if track_energy else None
+        result = SimResult(
+            state=self.state, steps_run=done,
+            ms_per_step=timer.ms_per_step if timer.total_steps else 0.0,
+            ginter_per_s=timer.ginter_per_s if timer.total_steps else 0.0,
+            energy_initial=e0, energy_final=e1)
+        if track_energy:
+            self.logger.log(step=self.step_count,
+                            sim_time=self.step_count * cfg.dt,
+                            energy=e1, energy_drift=result.energy_drift)
+        return result

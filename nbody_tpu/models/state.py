@@ -44,10 +44,16 @@ def round_up(n: int, multiple: int) -> int:
 
 def pad_state(state: SimState, multiple: int) -> SimState:
     """Pad state with zero-mass ghost bodies so N is a tile multiple."""
+    return pad_state_to(state, round_up(state.n, multiple))
+
+
+def pad_state_to(state: SimState, n_pad: int) -> SimState:
+    """Pad state with zero-mass ghost bodies up to exactly n_pad bodies."""
     n = state.n
-    n_pad = round_up(n, multiple)
     if n_pad == n:
         return state
+    if n_pad < n:
+        raise ValueError(f"cannot pad {n} bodies down to {n_pad}")
     extra = n_pad - n
     pad3 = jnp.zeros((extra, 3), dtype=state.pos.dtype)
     return SimState(

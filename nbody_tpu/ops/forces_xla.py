@@ -31,6 +31,33 @@ def _pair_factor(d2):
     return jax.lax.rsqrt(d2 * d2 * d2)
 
 
+def rect_forces(pos_i: jax.Array, pos_j: jax.Array, mass_j: jax.Array,
+                eps2: float, chunk: int = 1024) -> jax.Array:
+    """Forces exerted by body set j on body set i (the 'rectangular' block of
+    the interaction matrix).  This is the building block of the multi-chip
+    ring sweep (parallel/ring.py): each chip holds an i-shard and sweeps
+    rotating j-tiles — the cross-chip lift of the reference's intra-GPU tile
+    sweep (kernel.cu:99-114).
+
+    Direct-form accumulation (self-pairs vanish via r=0), chunked over i.
+    (Ni,3),(Nj,3),(Nj,) -> (Ni,3).
+    """
+    ni = pos_i.shape[0]
+    chunk = min(chunk, ni)
+    n_pad = -(-ni // chunk) * chunk
+    pad = n_pad - ni
+    pos_i_p = jnp.pad(pos_i, ((0, pad), (0, 0)))
+
+    def body(_, pos_c):
+        r = pos_j[None, :, :] - pos_c[:, None, :]   # (C, Nj, 3)
+        d2 = jnp.sum(r * r, axis=-1) + eps2
+        f = mass_j[None, :] * _pair_factor(d2)      # (C, Nj)
+        return None, jnp.sum(f[:, :, None] * r, axis=1)
+
+    _, acc = jax.lax.scan(body, None, pos_i_p.reshape(-1, chunk, 3))
+    return acc.reshape(n_pad, 3)[:ni].astype(pos_i.dtype)
+
+
 def forces_nxn(pos: jax.Array, mass: jax.Array, eps2: float) -> jax.Array:
     """Full NxN interaction matrix, reduced along j. (N,3),(N,) -> (N,3)."""
     r = pos[None, :, :] - pos[:, None, :]          # (N, N, 3): r_ij = x_j - x_i

@@ -1,0 +1,135 @@
+"""Multi-chip ring all-pairs sweep — the ICI lift of the reference's
+intra-GPU tile sweep.
+
+The reference streams the full position set through shared memory in
+block-sized tiles (``kernel.cu:96-114``); here bodies are sharded across a
+1-D device mesh and the *j-side* (positions + masses) rotates around the ICI
+ring with ``lax.ppermute`` so every chip's i-shard meets every position in P
+hops — structurally ring attention applied to the interaction matrix
+(SURVEY.md sections 2.3 and 5).  An ``all_gather`` variant (gather the whole
+position set, then one local sweep) is provided as the Ulysses-style
+alternative for small N.
+
+Everything (ring sweep + fused integration + the multi-step loop) lives
+inside one ``shard_map``-over-``jit`` program: zero host round-trips, and the
+collective-permute is compiled onto the ICI ring by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import SimConfig
+from ..models.integrators import reference_update
+from ..models.state import SimState, pad_state_to, round_up, unpad_state
+from ..ops.forces_xla import rect_forces
+from .mesh import SHARD_AXIS
+
+
+def _local_rect_forces(pos_i, pos_j, mass_j, cfg: SimConfig, impl: str):
+    """Per-chip (i-shard x j-tile) force block."""
+    if impl == "pallas":
+        from ..ops.forces_pallas import rect_forces_pallas
+        return rect_forces_pallas(
+            pos_i, pos_j, mass_j, cfg.eps2,
+            block_i=cfg.block_i, block_j=cfg.block_j)
+    return rect_forces(pos_i, pos_j, mass_j, cfg.eps2, chunk=cfg.chunk)
+
+
+def _resolve_local_impl(impl: Optional[str]) -> str:
+    if impl is not None and impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def ring_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
+                      axis: str = SHARD_AXIS):
+    """Ring sweep, written per-shard (call inside shard_map): accumulate
+    forces from P rotating j-tiles."""
+    p = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    def body(step, carry):
+        acc, pos_j, mass_j = carry
+        acc = acc + _local_rect_forces(pos_l, pos_j, mass_j, cfg, impl)
+        # Rotate the j-tile to the next chip. The final rotation returns
+        # the tiles to their owners, so the carry is restored — and XLA can
+        # overlap the permute of tile t+1 with nothing ahead of it; the
+        # compute/comm overlap across iterations comes from XLA's async
+        # collective-permute scheduling.
+        pos_j = jax.lax.ppermute(pos_j, axis, perm)
+        mass_j = jax.lax.ppermute(mass_j, axis, perm)
+        return acc, pos_j, mass_j
+
+    acc0 = jnp.zeros_like(pos_l)
+    acc, _, _ = jax.lax.fori_loop(0, p, body, (acc0, pos_l, mass_l))
+    return acc
+
+
+def allgather_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
+                           axis: str = SHARD_AXIS):
+    """Ulysses-style alternative: all-gather the full j-side once, then one
+    local rectangular sweep.  O(N) memory per chip — for small/medium N."""
+    pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)
+    mass_all = jax.lax.all_gather(mass_l, axis, tiled=True)
+    return _local_rect_forces(pos_l, pos_all, mass_all, cfg, impl)
+
+
+def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
+                       n_steps: int, impl: str, comm: str, axis: str):
+    force = ring_forces_local if comm == "ring" else allgather_forces_local
+
+    def one_step(_, carry):
+        pos, vel, acc = carry
+        new_acc = force(pos, mass_l, cfg, impl, axis)
+        new_pos, new_vel = reference_update(pos, vel, new_acc, cfg.dt)
+        return new_pos, new_vel, new_acc
+
+    pos, vel, acc = jax.lax.fori_loop(
+        0, n_steps, one_step, (pos_l, vel_l, acc_l))
+    return pos, vel, acc
+
+
+def shard_padding(cfg: SimConfig, n_devices: int) -> int:
+    """Padded N: divisible by P and, per shard, by the force-block sizes."""
+    per_shard_multiple = max(cfg.block_i, cfg.block_j, 8)
+    return round_up(cfg.n_bodies, n_devices * per_shard_multiple)
+
+
+def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
+                      n_steps: int, impl: Optional[str] = None,
+                      comm: str = "ring", axis: str = SHARD_AXIS) -> SimState:
+    """Run n_steps of the sharded simulation on a 1-D mesh.
+
+    State is padded with zero-mass ghosts to a shard-able size, sharded over
+    the mesh, advanced entirely on-device, and unpadded on return (still
+    sharded; pull with np.asarray when needed).
+    """
+    if comm not in ("ring", "allgather"):
+        raise ValueError(f"comm must be 'ring' or 'allgather', got {comm!r}")
+    n_real = state.n
+    p = mesh.shape[axis]
+    state = pad_state_to(state, shard_padding(cfg, p))
+    local_impl = _resolve_local_impl(impl)
+
+    fn = functools.partial(
+        _sharded_run_local, cfg=cfg, n_steps=n_steps, impl=local_impl,
+        comm=comm, axis=axis)
+    sharded = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+            # pallas_call's out_shape carries no varying-mesh-axes
+            # annotation; skip the vma check rather than threading vma
+            # through every kernel out_shape.
+            check_vma=False,
+        ))
+    pos, vel, acc = sharded(state.pos, state.vel, state.acc, state.mass)
+    out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
+    return unpad_state(out, n_real)

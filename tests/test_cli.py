@@ -1,0 +1,97 @@
+"""CLI surface tests — the runtime replacement for the reference's stdin
+prompts (main.cpp:163-228) and its dormant validation harness."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nbody_tpu.cli import main
+
+
+def test_run_headless(capsys):
+    rc = main(["run", "--n", "256", "--steps", "20", "--impl", "xla_nxn",
+               "--log-every", "10"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Simulation complete" in out
+    assert "GInter/s" in out
+
+
+def test_run_with_energy_and_logs(tmp_path, capsys):
+    jl = str(tmp_path / "run.jsonl")
+    rc = main(["run", "--n", "128", "--steps", "10", "--impl", "xla_nxn",
+               "--energy", "--log-jsonl", jl, "--quiet"])
+    assert rc == 0
+    records = [json.loads(l) for l in open(jl)]
+    assert any("energy_drift" in r and r["energy_drift"] is not None
+               for r in records)
+
+
+def test_run_checkpoint_and_resume(tmp_path, capsys):
+    ck = str(tmp_path / "ck.npz")
+    rc = main(["run", "--n", "128", "--steps", "10", "--impl", "xla_nxn",
+               "--checkpoint", ck, "--checkpoint-every", "5", "--quiet"])
+    assert rc == 0 and os.path.exists(ck)
+    rc = main(["run", "--n", "128", "--steps", "5", "--impl", "xla_nxn",
+               "--resume", ck, "--quiet"])
+    assert rc == 0
+
+
+def test_run_viz(tmp_path, capsys):
+    vd = str(tmp_path / "frames")
+    rc = main(["run", "--n", "64", "--steps", "4", "--impl", "xla_nxn",
+               "--viz", "--viz-dir", vd, "--viz-every", "2", "--quiet"])
+    assert rc == 0
+    assert len(os.listdir(vd)) == 2
+
+
+def test_validate_passes(capsys):
+    rc = main(["validate", "--n", "256", "--steps", "50", "--impl", "xla_nxn"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASSED" in out
+
+
+def test_validate_oracle_f32(capsys):
+    """Reference-exact comparison mode: fp32 oracle (CPU_compute precision)."""
+    rc = main(["validate", "--n", "128", "--steps", "20", "--impl", "xla_nxn",
+               "--oracle-f32"])
+    assert rc == 0
+
+
+def test_bench_json(capsys):
+    rc = main(["bench", "--n", "512", "--steps", "5", "--impl", "xla",
+               "--chunk", "128", "--warmup", "1"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "GInteractions/s"
+    assert rec["value"] > 0 and rec["finite"]
+    assert "vs_baseline" in rec
+
+
+def test_info(capsys):
+    rc = main(["info"])
+    assert rc == 0
+    assert "Device Properties" in capsys.readouterr().out
+
+
+def test_render(tmp_path, capsys):
+    from nbody_tpu.io.checkpoint import save_trajectory
+    snaps = (np.random.default_rng(0)
+             .uniform(-1e5, 1e5, (3, 64, 3)).astype(np.float32))
+    traj = str(tmp_path / "traj.npz")
+    save_trajectory(traj, snaps, snap_every=1)
+    out_dir = str(tmp_path / "frames")
+    rc = main(["render", traj, "--out-dir", out_dir,
+               "--width", "100", "--height", "80"])
+    assert rc == 0
+    assert len(os.listdir(out_dir)) == 3
+
+
+def test_sharded_run(capsys):
+    rc = main(["run", "--n", "512", "--steps", "5", "--impl", "xla",
+               "--chunk", "64", "--shards", "8", "--quiet"])
+    assert rc == 0

@@ -1,0 +1,76 @@
+"""Checkpoint/resume and structured logging (capabilities absent from the
+reference — SURVEY.md section 5 — added as idiomatic replacements)."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from nbody_tpu import SimConfig, SimState, run_steps
+from nbody_tpu.io.checkpoint import (
+    load_checkpoint, save_checkpoint, save_trajectory)
+from nbody_tpu.io.logger import RunLogger
+from conftest import make_small_system
+
+
+def make_state(n, seed=0):
+    pos, vel, mass = make_small_system(n, seed=seed)
+    return SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                    acc=jnp.zeros((n, 3), jnp.float32),
+                    mass=jnp.asarray(mass))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = make_state(128, seed=30)
+    cfg = SimConfig(n_bodies=128, impl="xla_nxn")
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, state, step=42, cfg=cfg)
+    state2, step, cfg2 = load_checkpoint(p)
+    assert step == 42
+    assert cfg2 == cfg
+    np.testing.assert_array_equal(np.asarray(state.pos),
+                                  np.asarray(state2.pos))
+    np.testing.assert_array_equal(np.asarray(state.mass),
+                                  np.asarray(state2.mass))
+
+
+def test_resume_equals_continuous(tmp_path):
+    """10 continuous steps == 5 steps -> checkpoint -> resume -> 5 steps."""
+    n = 128
+    state = make_state(n, seed=31)
+    cfg = SimConfig(n_bodies=n, impl="xla_nxn")
+    cont = run_steps(state, cfg, 10)
+
+    half = run_steps(state, cfg, 5)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, half, step=5, cfg=cfg)
+    restored, step, rcfg = load_checkpoint(p)
+    resumed = run_steps(restored, rcfg, 5)
+    # fp32 state round-trips exactly; trajectories must be bit-identical.
+    np.testing.assert_array_equal(np.asarray(cont.pos),
+                                  np.asarray(resumed.pos))
+    np.testing.assert_array_equal(np.asarray(cont.vel),
+                                  np.asarray(resumed.vel))
+
+
+def test_trajectory_save(tmp_path):
+    snaps = np.random.default_rng(0).normal(size=(4, 32, 3)).astype(np.float32)
+    p = str(tmp_path / "traj.npz")
+    save_trajectory(p, snaps, snap_every=10)
+    with np.load(p) as z:
+        assert z["snapshots"].shape == (4, 32, 3)
+        assert int(z["snap_every"]) == 10
+
+
+def test_run_logger(tmp_path):
+    jl = str(tmp_path / "log.jsonl")
+    cv = str(tmp_path / "log.csv")
+    with RunLogger(jsonl_path=jl, csv_path=cv, quiet=True) as lg:
+        lg.log(step=1, ms_per_step=1.5, ginter_per_s=100.0)
+        lg.log(step=2, ms_per_step=1.4, ginter_per_s=110.0,
+               energy_drift=1e-5)
+    lines = [json.loads(l) for l in open(jl)]
+    assert lines[0]["step"] == 1 and lines[1]["energy_drift"] == 1e-5
+    rows = open(cv).read().strip().splitlines()
+    assert rows[0].startswith("step,") and len(rows) == 3

@@ -1,0 +1,76 @@
+"""Pallas kernel correctness (interpret mode on CPU; compiled on TPU).
+
+The reference cross-checks its two kernel families against each other and
+against the CPU oracle (SURVEY.md section 4); here the Pallas kernel is the
+production path and must match both the oracle and the XLA backends.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu.ops.forces_pallas import forces_pallas
+from nbody_tpu.ops.forces_xla import forces_chunked
+from nbody_tpu.oracle.numpy_oracle import assert_matches_oracle, oracle_forces
+from conftest import make_small_system
+
+EPS2 = 0.002
+
+
+@pytest.mark.parametrize("n,bi,bj", [
+    (256, 8, 128),
+    (384, 8, 128),     # padding: 384 -> 512 with ghosts
+    (256, 16, 256),
+])
+def test_pallas_vpu_matches_oracle(n, bi, bj):
+    pos, _, mass = make_small_system(n, seed=10)
+    acc = np.asarray(forces_pallas(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=bi, block_j=bj))
+    assert acc.shape == (n, 3)
+    ref = oracle_forces(pos, mass, EPS2)
+    assert_matches_oracle(acc, ref, "acc(pallas-vpu)")
+
+
+@pytest.mark.parametrize("n,bi,bj", [(256, 8, 128), (512, 16, 256)])
+def test_pallas_mxu_matches_oracle(n, bi, bj):
+    pos, _, mass = make_small_system(n, seed=11)
+    acc = np.asarray(forces_pallas(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=bi, block_j=bj,
+        use_mxu=True))
+    ref = oracle_forces(pos, mass, EPS2)
+    assert_matches_oracle(acc, ref, "acc(pallas-mxu)")
+
+
+def test_pallas_cross_checks_xla():
+    """Two independent device implementations agree tightly."""
+    pos, _, mass = make_small_system(512, seed=12)
+    a_pallas = np.asarray(forces_pallas(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=8, block_j=128))
+    a_xla = np.asarray(
+        forces_chunked(jnp.asarray(pos), jnp.asarray(mass), EPS2, chunk=128))
+    np.testing.assert_allclose(a_pallas, a_xla, rtol=1e-4, atol=1e-2)
+
+
+def test_pallas_autoshrink_small_n():
+    """Blocks larger than N shrink instead of erroring."""
+    pos, _, mass = make_small_system(64, seed=13)
+    acc = np.asarray(forces_pallas(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=256, block_j=1024))
+    ref = oracle_forces(pos, mass, EPS2)
+    assert_matches_oracle(acc, ref, "acc(pallas-small)")
+
+
+def test_pallas_vmem_budget_guard():
+    """The analog of the reference's shared-memory capacity check
+    (kernel.cu:637-641): oversized blocks raise before launch."""
+    pos, _, mass = make_small_system(256, seed=14)
+    with pytest.raises(ValueError, match="VMEM"):
+        forces_pallas(jnp.asarray(pos), jnp.asarray(mass), EPS2,
+                      block_i=2048, block_j=8192)
+
+
+def test_pallas_block_alignment_guard():
+    pos, _, mass = make_small_system(256, seed=15)
+    with pytest.raises(ValueError, match="multiple"):
+        forces_pallas(jnp.asarray(pos), jnp.asarray(mass), EPS2,
+                      block_i=12, block_j=128)

@@ -1,0 +1,98 @@
+"""Multi-chip ring / all-gather sharded path, on 8 virtual CPU devices.
+
+The reference has no distributed story (single GPU, SURVEY.md section 2.3);
+this is the rebuild's ICI scaling layer.  Correctness bar: the sharded result
+must match the single-device path and the oracle.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu import SimConfig, SimState, run_steps
+from nbody_tpu.parallel.mesh import make_mesh, shard_state
+from nbody_tpu.parallel.ring import run_steps_sharded, shard_padding
+from nbody_tpu.oracle.numpy_oracle import assert_matches_oracle, oracle_run
+from conftest import make_small_system
+
+
+def make_state(n, seed=0):
+    pos, vel, mass = make_small_system(n, seed=seed)
+    return SimState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        acc=jnp.zeros((n, 3), jnp.float32), mass=jnp.asarray(mass)), pos, vel, mass
+
+
+def test_mesh_has_8_virtual_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("comm", ["ring", "allgather"])
+def test_sharded_matches_single_device(comm):
+    n, steps = 512, 10
+    state, *_ = make_state(n, seed=20)
+    cfg = SimConfig(n_bodies=n, impl="xla", chunk=64)
+    mesh = make_mesh()
+    out_sharded = run_steps_sharded(
+        state, cfg, mesh, steps, impl="xla", comm=comm)
+    out_single = run_steps(state, cfg, steps, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.pos), np.asarray(out_single.pos),
+        rtol=1e-4, atol=1.0)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.vel), np.asarray(out_single.vel),
+        rtol=1e-4, atol=1e-2)
+
+
+def test_sharded_matches_oracle():
+    n, steps = 512, 20
+    state, pos, vel, mass = make_state(n, seed=21)
+    cfg = SimConfig(n_bodies=n, impl="xla", chunk=64)
+    mesh = make_mesh()
+    out = run_steps_sharded(state, cfg, mesh, steps, impl="xla", comm="ring")
+    rpos, rvel, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(ring)", abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.vel), rvel, "vel(ring)", abs_tol=1e-2)
+
+
+def test_sharded_with_padding():
+    """N not divisible by P: ghosts carry the remainder."""
+    n = 500  # pads to 512 on 8 devices with block multiples of 8
+    state, pos, vel, mass = make_state(n, seed=22)
+    cfg = SimConfig(n_bodies=n, impl="xla", chunk=64, block_i=8, block_j=128)
+    mesh = make_mesh()
+    assert shard_padding(cfg, 8) % 8 == 0
+    out = run_steps_sharded(state, cfg, mesh, 5, impl="xla", comm="ring")
+    assert out.n == n
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 5)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(pad)", abs_tol=1.0)
+
+
+def test_sharded_pallas_interpret():
+    """The Pallas rect kernel inside shard_map (interpret mode on CPU)."""
+    n, steps = 1024, 3
+    state, pos, vel, mass = make_state(n, seed=23)
+    cfg = SimConfig(n_bodies=n, impl="pallas", block_i=8, block_j=128)
+    mesh = make_mesh()
+    out = run_steps_sharded(state, cfg, mesh, steps, impl="pallas",
+                            comm="ring")
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(ring-pallas)",
+                          abs_tol=1.0)
+
+
+def test_shard_state_placement():
+    state, *_ = make_state(512, seed=24)
+    mesh = make_mesh()
+    sharded = shard_state(state, mesh)
+    assert len(sharded.pos.sharding.device_set) == 8
+
+
+def test_bad_comm_raises():
+    state, *_ = make_state(64, seed=25)
+    cfg = SimConfig(n_bodies=64)
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="comm"):
+        run_steps_sharded(state, cfg, mesh, 1, comm="bogus")

@@ -1,0 +1,79 @@
+"""Headless visualization: device rasterizer + PNG writer + frame streamer.
+
+Behavioral parity targets from the reference GL pipeline
+(simulation_visualization.cpp): 800x600 default framebuffer, NDC clip of the
++/-MAX_VIEW box, green->red mass color lerp.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from nbody_tpu.viz.png import encode_png, read_png_size, write_png
+from nbody_tpu.viz.raster import render_frame
+from nbody_tpu.viz.stream import FrameStreamer
+
+
+def test_render_frame_shape_and_colors():
+    # Three bodies: light (green), heavy (red), out-of-view (clipped).
+    pos = jnp.asarray([
+        [0.0, 0.0, 0.0],          # center, light
+        [100_000.0, 100_000.0, 0.0],   # upper-right quadrant, heavy
+        [500_000.0, 0.0, 0.0],    # outside view box -> clipped
+    ], dtype=jnp.float32)
+    mass = jnp.asarray([1e5, 1e9, 1e9], dtype=jnp.float32)
+    frame = np.asarray(render_frame(
+        pos, mass, 1e5, 1e9, 200_000.0, width=200, height=100))
+    assert frame.shape == (100, 200, 3) and frame.dtype == np.uint8
+    # Center pixel: weight 0 -> pure green (fragment shader mix at w=0).
+    cy, cx = 49, 99  # (1-(v+1)/2)*(H-1) with v=0 -> 49.5 -> 49
+    center = frame[cy:cy + 2, cx:cx + 2].reshape(-1, 3)
+    assert any((p[1] > 200 and p[0] < 50) for p in center), center
+    # Heavy body at NDC (0.5, 0.5): red-ish pixel present in that quadrant.
+    quad = frame[:50, 100:]
+    assert quad[:, :, 0].max() > 200
+    # Exactly 2 drawn pixels (third clipped).
+    drawn = (frame.sum(axis=-1) > 0).sum()
+    assert drawn == 2
+
+
+def test_ghosts_do_not_draw():
+    pos = jnp.zeros((4, 3), jnp.float32)
+    mass = jnp.zeros((4,), jnp.float32)
+    frame = np.asarray(render_frame(pos, mass, 1e5, 1e9, 2e5,
+                                    width=64, height=64))
+    assert frame.sum() == 0
+
+
+def test_png_roundtrip(tmp_path):
+    rgb = (np.random.default_rng(0).uniform(0, 255, (48, 64, 3))
+           .astype(np.uint8))
+    p = str(tmp_path / "t.png")
+    write_png(p, rgb)
+    assert read_png_size(p) == (64, 48)
+    data = encode_png(rgb)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # zlib-decodable IDAT reproduces the raw scanlines.
+    import struct, zlib
+    off = 8
+    idat = b""
+    while off < len(data):
+        (length,), tag = struct.unpack(">I", data[off:off+4]), data[off+4:off+8]
+        if tag == b"IDAT":
+            idat += data[off+8:off+8+length]
+        off += 12 + length
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, np.uint8).reshape(48, 1 + 64 * 3)
+    assert (rows[:, 0] == 0).all()
+    np.testing.assert_array_equal(rows[:, 1:].reshape(48, 64, 3), rgb)
+
+
+def test_frame_streamer(tmp_path):
+    out = str(tmp_path / "frames")
+    with FrameStreamer(out) as fs:
+        for i in range(5):
+            fs.submit(i, np.full((16, 16, 3), i * 40, np.uint8))
+    files = sorted(os.listdir(out))
+    assert len(files) == 5
+    assert files[0] == "frame_000000.png"
