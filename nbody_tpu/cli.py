@@ -31,7 +31,8 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--dt", type=float, default=0.1)
     p.add_argument("--eps2", type=float, default=0.002)
     p.add_argument("--impl", default="auto",
-                   choices=["auto", "xla", "xla_nxn", "pallas", "pallas_mxu"],
+                   choices=["auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
+                            "pallas_fast"],
                    help="force backend (reference kernel-type prompt)")
     p.add_argument("--integrator", default="reference",
                    choices=["reference", "kdk"])
@@ -82,6 +83,22 @@ def cmd_run(args) -> int:
                        quiet=args.quiet)
     cfg = _make_cfg(args)
     sim = _make_sim(args, cfg, logger)
+
+    if args.save_trajectory:
+        # Trajectory-capture path: snapshots accumulate on device in one
+        # compiled scan, then export to NPZ (nbody render consumes it).
+        from .io.checkpoint import save_trajectory
+        from .ops.step import run_trajectory
+        final, snaps = run_trajectory(
+            sim.state, cfg, args.steps, snap_every=max(1, args.snap_every),
+            impl=sim.impl)
+        save_trajectory(args.save_trajectory, np.asarray(snaps),
+                        max(1, args.snap_every), cfg)
+        if not args.quiet:
+            print(f"saved {snaps.shape[0]} snapshots -> "
+                  f"{args.save_trajectory}")
+        logger.close()
+        return 0
     streamer = None
     if args.viz:
         from .viz.stream import FrameStreamer
@@ -102,7 +119,8 @@ def cmd_run(args) -> int:
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
             frame_streamer=streamer,
-            track_energy=args.energy)
+            track_energy=args.energy,
+            sort_every=args.sort_every)
     finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
@@ -253,6 +271,12 @@ def build_parser() -> argparse.ArgumentParser:
                       help="report total-energy drift (float64)")
     runp.add_argument("--profile", default=None, metavar="DIR",
                       help="capture a jax.profiler trace into DIR")
+    runp.add_argument("--sort-every", type=int, default=0,
+                      help="Morton-resort bodies every K steps (recommended "
+                           "with --impl pallas_fast)")
+    runp.add_argument("--save-trajectory", default=None, metavar="NPZ",
+                      help="capture position snapshots on device and save")
+    runp.add_argument("--snap-every", type=int, default=1)
     runp.add_argument("--quiet", action="store_true")
     runp.set_defaults(fn=cmd_run)
 

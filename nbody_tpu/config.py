@@ -32,7 +32,8 @@ DEFAULT_N_BODIES = 8192
 # View box used by the visualizer — reference TestProject/constants.h:21-23
 DEFAULT_MAX_VIEW = 200_000.0
 
-_VALID_IMPLS = ("auto", "xla", "xla_nxn", "pallas", "pallas_mxu")
+_VALID_IMPLS = ("auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
+                "pallas_fast")
 _VALID_INTEGRATORS = ("reference", "kdk")
 
 

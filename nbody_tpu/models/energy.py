@@ -31,18 +31,24 @@ def potential_energy(pos, mass, eps2: float, chunk: int = 2048) -> jax.Array:
     pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
     mass_p = jnp.pad(mass, (0, pad))
 
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+
     def body(carry, args):
-        pos_c, mass_c = args
+        pos_c, mass_c, start = args
         r = pos_p[None, :, :] - pos_c[:, None, :]
         d2 = jnp.sum(r * r, axis=-1) + eps2
         inv = jax.lax.rsqrt(d2)
-        # Self-pairs (and ghost-ghost pairs at distance 0) contribute
-        # m_i*m_i/sqrt(eps2); subtract the diagonal exactly below.
+        # Mask the self-pair in place: its value m_i^2 * rsqrt(eps2) is
+        # ~1000x the physical pair terms, so subtracting it after
+        # accumulation would cancel catastrophically in fp32.
+        i_ids = start + jax.lax.broadcasted_iota(
+            jnp.int32, (pos_c.shape[0], 1), 0)
+        inv = jnp.where(j_ids == i_ids, 0.0, inv)
         pe_c = jnp.sum(mass_c[:, None] * mass_p[None, :] * inv)
-        self_term = jnp.sum(mass_c * mass_c) * jax.lax.rsqrt(jnp.asarray(eps2, pos.dtype))
-        return carry + pe_c - self_term, None
+        return carry + pe_c, None
 
-    chunks = (pos_p.reshape(-1, chunk, 3), mass_p.reshape(-1, chunk))
+    starts = jnp.arange(0, n_pad, chunk, dtype=jnp.int32)
+    chunks = (pos_p.reshape(-1, chunk, 3), mass_p.reshape(-1, chunk), starts)
     total, _ = jax.lax.scan(body, jnp.asarray(0.0, pos.dtype), chunks)
     return -0.5 * total
 

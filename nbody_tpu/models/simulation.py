@@ -11,6 +11,7 @@ streaming.  The hot path stays fully compiled: steps run in jitted chunks
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
 import jax
@@ -86,7 +87,8 @@ class Simulation:
             checkpoint_every: int = 0,
             frame_streamer=None,
             track_energy: bool = False,
-            nan_watchdog: bool = True) -> SimResult:
+            nan_watchdog: bool = True,
+            sort_every: int = 0) -> SimResult:
         n_steps = n_steps if n_steps is not None else self.cfg.steps
         cfg = self.cfg
         timer = StepTimer(n_bodies=cfg.n_bodies)
@@ -105,20 +107,34 @@ class Simulation:
             cadences.append(cfg.viz_every)
         if checkpoint_every > 0:
             cadences.append(checkpoint_every)
+        if sort_every > 0:
+            cadences.append(sort_every)
         chunk = max(1, min(cadences))
+
+        if sort_every > 0:
+            # Initial Z-order sort (accuracy prerequisite of pallas_fast;
+            # also improves any spatially-blocked path).  Body identity is
+            # permuted — gravity is permutation-equivariant.
+            from .ordering import morton_sort_state
+            self.state, _ = morton_sort_state(
+                self.state, -cfg.max_pos, cfg.max_pos)
 
         done = 0
         frame_idx = 0
+        first_chunk_s = 0.0
         # Warm-up compile outside the timed region (first call compiles).
         while done < n_steps:
             todo = min(chunk, n_steps - done)
             first = done == 0
+            t0 = time.perf_counter() if first else 0.0
             if not first:
                 timer.start()
             self._run_chunk(todo)
             sync(self.state.pos)
             if not first:
                 timer.stop(todo)
+            else:
+                first_chunk_s = time.perf_counter() - t0
             done += todo
             self.step_count += todo
 
@@ -144,6 +160,11 @@ class Simulation:
                 save_checkpoint(checkpoint_path, self.state,
                                 self.step_count, cfg)
 
+            if sort_every > 0 and done % sort_every == 0 and done < n_steps:
+                from .ordering import morton_sort_state
+                self.state, _ = morton_sort_state(
+                    self.state, -cfg.max_pos, cfg.max_pos)
+
             if log_every > 0 and timer.total_steps:
                 self.logger.log(
                     step=self.step_count,
@@ -154,10 +175,20 @@ class Simulation:
                 )
 
         e1 = energy_f64(self.state, cfg.eps2) if track_energy else None
+        if timer.total_steps:
+            ms_per_step = timer.ms_per_step
+            ginter = timer.ginter_per_s
+        else:
+            # Every step landed in the single (compile-inclusive) chunk;
+            # report that rather than 0 (upper bound on the true cost).
+            steps0 = max(1, done)
+            ms_per_step = 1000.0 * first_chunk_s / steps0
+            ginter = float(cfg.n_bodies) ** 2 * steps0 / first_chunk_s / 1e9 \
+                if first_chunk_s else 0.0
         result = SimResult(
             state=self.state, steps_run=done,
-            ms_per_step=timer.ms_per_step if timer.total_steps else 0.0,
-            ginter_per_s=timer.ginter_per_s if timer.total_steps else 0.0,
+            ms_per_step=ms_per_step,
+            ginter_per_s=ginter,
             energy_initial=e0, energy_final=e1)
         if track_energy:
             self.logger.log(step=self.step_count,

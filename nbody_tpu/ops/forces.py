@@ -42,13 +42,11 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
         return forces_nxn(pos, mass, cfg.eps2)
     if impl == "xla":
         return forces_chunked(pos, mass, cfg.eps2, chunk=cfg.chunk)
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_mxu", "pallas_fast"):
         from .forces_pallas import forces_pallas
-        return forces_pallas(pos, mass, cfg.eps2,
-                             block_i=cfg.block_i, block_j=cfg.block_j)
-    if impl == "pallas_mxu":
-        from .forces_pallas import forces_pallas
+        variant = {"pallas": "vpu", "pallas_mxu": "mxu",
+                   "pallas_fast": "fast"}[impl]
         return forces_pallas(pos, mass, cfg.eps2,
                              block_i=cfg.block_i, block_j=cfg.block_j,
-                             use_mxu=True)
+                             variant=variant)
     raise ValueError(f"unknown force impl {impl!r}")

@@ -1,4 +1,4 @@
-"""Pallas VMEM-tiled all-pairs force kernel — the TPU-native analog of the
+"""Pallas VMEM-tiled all-pairs force kernels — the TPU-native analog of the
 reference's shared-memory tiled CUDA kernel (``kernel.cu:80-130``).
 
 Mapping (SURVEY.md section 2.2):
@@ -7,26 +7,40 @@ Mapping (SURVEY.md section 2.2):
   (``kernel.cu:99-113``)  ==>  Pallas ``BlockSpec`` streaming j-tiles
   HBM->VMEM across grid steps, double-buffered by the Pallas pipeline.
 - one-thread-per-body serial sweep  ==>  an (BI x BJ) vectorized interaction
-  block on the VPU; the i-block's accumulator lives in VMEM across the whole
-  j sweep (the analog of the per-thread register accumulator).
+  block; the i-block's accumulator lives in VMEM across the whole j sweep
+  (the analog of the per-thread register accumulator).
 - ``1/sqrtf(distSqrt^3)`` (``kernel.cu:20``)  ==>  ``jax.lax.rsqrt`` on the
   VPU.
 - launch-config / shared-memory-capacity checks (``kernel.cu:632-641``)  ==>
   VMEM-budget validation in the wrapper.
 
-Two accumulation strategies (both exact w.r.t. the reference force law):
+Three kernel variants (a richer ladder than the reference's tiled/reduction/
+FADL/float3 family, with the same role: capability + optimization tiers):
 
-- ``vpu`` (default): a_i += f*dx summed on the VPU. The self-pair vanishes
-  exactly via r=0, like the reference (kernel.cu:17-27).
-- ``mxu``: the (BI,BJ) factor matrix is contracted against the j-tile
-  positions on the MXU (``acc = f @ xj - xi * rowsum(f)``), moving 6 of the
-  ~19 flops/pair off the VPU. Requires masking the diagonal block (the
-  self-factor m_i*rsqrt(eps2^3) cancels only in exact arithmetic).
+- ``vpu`` (default, validation-grade): everything on the VPU; ~19 flops/pair.
+  The self-pair vanishes exactly via r=0, like the reference
+  (kernel.cu:17-27).  Bit-faithful to the reference force law.
+- ``mxu`` (near-validation-grade): exact VPU distances, but the accumulation
+  ``acc = f @ [xj|1] - xi * rowsum(f)`` runs on the MXU as two bf16 matmuls
+  over hi/lo splits of both ``f`` and ``xj`` (~1e-5 relative per pair).
+  Measured vs the f64 oracle at N=8192: p99 component error 3e-4, with a
+  ~1e-4 fraction of components (those where contributions cancel to <<1 of
+  their gross magnitude) outside the strict 1% gate.  The self pair is
+  masked out of the matmul on diagonal tiles (its ~1e18 product would
+  poison the fp32 row accumulation).  Moves ~6 of ~19 flops/pair to the MXU.
+- ``fast`` (throughput-grade): additionally computes the *distances* on the
+  MXU via per-j-tile centering: d2 = |xi-c|^2 - 2(xi-c).(xj-c) + |xj-c|^2
+  with the cross term a HIGHEST-precision matmul.  fp32 cancellation bounds
+  its accuracy by the spatial extent of the j-tiles, so inputs should be
+  Morton-sorted (models/ordering.py) — then the error is ~1e-7*(d+s)^2,
+  within the 1%% gate except for astronomically rare ultra-close pairs.
+  Diagonal blocks mask the self-pair (its centered d2 is pure rounding
+  noise, clamped to eps2 to avoid NaN).
 
-Layout: positions are passed both as (N,3) [i-side] and transposed (3,N)
-[j-side] so both broadcast shapes (BI,1) and (1,BJ) are natural slices with
-no in-kernel transposes; the (3,N) copy is refreshed once per step by XLA (a
-cheap transpose vs the O(N^2) sweep).
+Layout: positions are passed as (N,3) [i-side and matmul operand] and
+transposed (3,N) [j-side broadcasts] so both broadcast shapes are natural
+slices with no in-kernel transposes; the (3,N) copy is refreshed once per
+step by XLA (a cheap transpose vs the O(N^2) sweep).
 """
 
 from __future__ import annotations
@@ -44,6 +58,8 @@ from ..models.state import round_up
 # less pipeline overheads).  The analog of the reference's
 # sharedMemPerBlock check (kernel.cu:637-641).
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+VARIANTS = ("vpu", "mxu", "fast")
 
 
 def _validate_blocks(ni_pad: int, block_i: int, block_j: int,
@@ -66,6 +82,31 @@ def _validate_blocks(ni_pad: int, block_i: int, block_j: int,
             f"block_i={block_i} x block_j={block_j} needs ~"
             f"{(interaction + blocks) / 1e6:.1f} MB VMEM > budget "
             f"{_VMEM_BUDGET_BYTES / 1e6:.1f} MB; shrink the blocks")
+
+
+def _bf16_split(x):
+    """hi/lo bfloat16 decomposition: hi + lo reproduces x to ~16-17 bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mxu_accumulate(f, xi, pos_j, block_j):
+    """acc contribution of this tile via two bf16 MXU matmuls:
+    (f_hi + f_lo) @ [xj_hi | xj_lo | 1 | 0]  ->  sum f*xj and rowsum(f).
+    Returns the (BI,3) tile contribution f@xj - xi*rowsum(f) plus the
+    effective (hi+lo) position matrix used (for self-term correction)."""
+    fhi, flo = _bf16_split(f)
+    hj, lj = _bf16_split(pos_j)
+    ones = jnp.ones((block_j, 1), jnp.bfloat16)
+    zeros = jnp.zeros((block_j, 1), jnp.bfloat16)
+    xj8 = jnp.concatenate([hj, lj, ones, zeros], axis=1)     # (BJ, 8) bf16
+    dn = (((1,), (0,)), ((), ()))
+    out = (jax.lax.dot_general(fhi, xj8, dn,
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(flo, xj8, dn,
+                                 preferred_element_type=jnp.float32))
+    return (out[:, 0:3] + out[:, 3:6]) - xi * out[:, 6:7]
 
 
 def _force_kernel_vpu(pos_i_ref, posT_j_ref, mass_j_ref, acc_ref, *, eps2):
@@ -91,8 +132,8 @@ def _force_kernel_vpu(pos_i_ref, posT_j_ref, mass_j_ref, acc_ref, *, eps2):
     acc_ref[:] += jnp.concatenate([ax, ay, az], axis=1)
 
 
-def _force_kernel_mxu(pos_i_ref, posT_j_ref, mass_j_ref, acc_ref, *,
-                      eps2, block_i, block_j):
+def _force_kernel_mxu(pos_i_ref, posT_j_ref, pos_j_ref,
+                      mass_j_ref, acc_ref, *, eps2, block_i, block_j):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -101,70 +142,152 @@ def _force_kernel_mxu(pos_i_ref, posT_j_ref, mass_j_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xi = pos_i_ref[:]                      # (BI, 3)
-    xj = posT_j_ref[:]                     # (3, BJ)
+    xjT = posT_j_ref[:]                    # (3, BJ)
     m = mass_j_ref[:]                      # (1, BJ)
 
-    dx = xj[0:1, :] - xi[:, 0:1]
-    dy = xj[1:2, :] - xi[:, 1:2]
-    dz = xj[2:3, :] - xi[:, 2:3]
+    dx = xjT[0:1, :] - xi[:, 0:1]
+    dy = xjT[1:2, :] - xi[:, 1:2]
+    dz = xjT[2:3, :] - xi[:, 2:3]
     d2 = dx * dx + dy * dy + dz * dz + eps2
-    f = m * jax.lax.rsqrt(d2 * d2 * d2)    # (BI, BJ)
+    f = m * jax.lax.rsqrt(d2 * d2 * d2)    # (BI, BJ) f32
 
-    # Mask the self-pair: through the matmul decomposition the diagonal
-    # factor would only cancel in exact arithmetic (see module docstring).
-    row = i * block_i + jax.lax.broadcasted_iota(
-        jnp.int32, (block_i, block_j), 0)
-    col = j * block_j + jax.lax.broadcasted_iota(
-        jnp.int32, (block_i, block_j), 1)
-    f = jnp.where(row == col, 0.0, f)
+    # The self-pair factor f_ii = m_i * rsqrt(eps2^3) (~1e4*m_i) must be
+    # zeroed BEFORE the matmul: its xj product (~1e18) would poison the
+    # MXU's fp32 row accumulation (absorbing ~1e10 of rounding error that
+    # no post-hoc correction can repair).  In the VPU path this never
+    # arises because the self term is multiplied by r=0 first.  Masking
+    # costs ~3 ops/pair but only on the O(N/BJ) diagonal-overlapping tiles.
+    i0 = i * block_i
+    j0 = j * block_j
+    overlap = jnp.logical_and(i0 < j0 + block_j, i0 + block_i > j0)
 
-    # (BI,BJ) @ (BJ,3) on the MXU + rank-1 correction.  Precision must be
-    # HIGHEST: the MXU's default single-pass bf16 rounding of 1e5-scale
-    # positions (8-bit mantissa => ~4e2 absolute error) would swamp the
-    # forces; the 3-pass fp32 emulation is still far cheaper than doing
-    # these 6 flops/pair on the VPU.
-    acc_ref[:] += (
-        jax.lax.dot_general(
-            f, xj, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        - xi * jnp.sum(f, axis=1, keepdims=True)
-    )
+    @pl.when(overlap)
+    def _():
+        row = i0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_i, block_j), 0)
+        col = j0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_i, block_j), 1)
+        fm = jnp.where(row == col, 0.0, f)
+        acc_ref[:] += _mxu_accumulate(fm, xi, pos_j_ref[:], block_j)
+
+    @pl.when(jnp.logical_not(overlap))
+    def _():
+        acc_ref[:] += _mxu_accumulate(f, xi, pos_j_ref[:], block_j)
+
+
+def _force_kernel_fast(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
+                       cent_j_ref, acc_ref, *, eps2, block_i, block_j):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xi = pos_i_ref[:]                      # (BI, 3)
+    xj = pos_j_ref[:]                      # (BJ, 3)
+    xjT = posT_j_ref[:]                    # (3, BJ)
+    m = mass_j_ref[:]                      # (1, BJ)
+    # j-tile centroid: the full (n_tiles, 3) table lives in SMEM; index by
+    # grid position (Mosaic SMEM blocks must be full-array or (8,128)-tiled).
+    cx, cy, cz = cent_j_ref[j, 0], cent_j_ref[j, 1], cent_j_ref[j, 2]
+
+    u = xi - jnp.concatenate(
+        [jnp.full((block_i, 1), cx, jnp.float32),
+         jnp.full((block_i, 1), cy, jnp.float32),
+         jnp.full((block_i, 1), cz, jnp.float32)], axis=1)   # (BI, 3)
+    v = xj - jnp.concatenate(
+        [jnp.full((block_j, 1), cx, jnp.float32),
+         jnp.full((block_j, 1), cy, jnp.float32),
+         jnp.full((block_j, 1), cz, jnp.float32)], axis=1)   # (BJ, 3)
+    un2 = jnp.sum(u * u, axis=1, keepdims=True)              # (BI, 1)
+    vx = xjT[0:1, :] - cx                                    # (1, BJ)
+    vy = xjT[1:2, :] - cy
+    vz = xjT[2:3, :] - cz
+    vn2T = vx * vx + vy * vy + vz * vz                       # (1, BJ)
+    cross = jax.lax.dot_general(
+        u, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                 # (BI, BJ) MXU
+    d2 = (un2 + eps2) - (cross + cross) + vn2T
+    # Centered cancellation can leave tiny/negative noise for self and
+    # ultra-close pairs; clamp at the softening floor (the closest physical
+    # d2 is eps2 anyway).
+    d2 = jnp.maximum(d2, eps2)
+    f = m * jax.lax.rsqrt(d2 * d2 * d2)
+
+    # Mask the self-pair on diagonal-overlapping tiles (its centered d2 is
+    # rounding noise, and the accumulation matmul would multiply it by a
+    # nonzero position).
+    i0 = i * block_i
+    j0 = j * block_j
+    overlap = jnp.logical_and(i0 < j0 + block_j, i0 + block_i > j0)
+
+    def tile_acc(fm):
+        return _mxu_accumulate(fm, xi, xj, block_j)
+
+    @pl.when(overlap)
+    def _():
+        row = i0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_i, block_j), 0)
+        col = j0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_i, block_j), 1)
+        acc_ref[:] += tile_acc(jnp.where(row == col, 0.0, f))
+
+    @pl.when(jnp.logical_not(overlap))
+    def _():
+        acc_ref[:] += tile_acc(f)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps2", "block_i", "block_j", "use_mxu",
+    jax.jit, static_argnames=("eps2", "block_i", "block_j", "variant",
                               "interpret"))
-def _forces_pallas_padded(pos, posT, mass_row, eps2, block_i, block_j,
-                          use_mxu, interpret):
-    """Tiled sweep of the (Ni x Nj) interaction block.  ``pos`` is the i-side
-    (Ni,3); ``posT``/``mass_row`` are the j-side (3,Nj)/(1,Nj).  Square
-    self-interaction is the Ni==Nj case; the rectangular case is the
-    building block of the multi-chip ring sweep."""
-    ni_pad = pos.shape[0]
+def _forces_pallas_padded(pos_i, posT, pos_j, mass_row, cent,
+                          eps2, block_i, block_j, variant, interpret):
+    """Tiled sweep of the (Ni x Nj) interaction block.  ``pos_i``/``mass_col``
+    are the i-side (Ni,3)/(Ni,1); ``posT``/``pos_j``/``mass_row``/``cent``
+    are the j-side (3,Nj)/(Nj,3)/(1,Nj)/(Nj/BJ,3).  Square self-interaction
+    is the Ni==Nj case; the rectangular case is the building block of the
+    multi-chip ring sweep."""
+    ni_pad = pos_i.shape[0]
     nj_pad = posT.shape[1]
     grid = (ni_pad // block_i, nj_pad // block_j)
 
-    if use_mxu:
+    spec_pos_i = pl.BlockSpec((block_i, 3), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
+    spec_posT_j = pl.BlockSpec((3, block_j), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+    spec_pos_j = pl.BlockSpec((block_j, 3), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+    spec_mass_j = pl.BlockSpec((1, block_j), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+    spec_cent_j = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (n_tiles, 3)
+
+    if variant == "vpu":
+        kernel = functools.partial(_force_kernel_vpu, eps2=eps2)
+        in_specs = [spec_pos_i, spec_posT_j, spec_mass_j]
+        operands = (pos_i, posT, mass_row)
+    elif variant == "mxu":
         kernel = functools.partial(
             _force_kernel_mxu, eps2=eps2, block_i=block_i, block_j=block_j)
+        in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
+        operands = (pos_i, posT, pos_j, mass_row)
+    elif variant == "fast":
+        kernel = functools.partial(
+            _force_kernel_fast, eps2=eps2, block_i=block_i, block_j=block_j)
+        in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j,
+                    spec_cent_j]
+        operands = (pos_i, posT, pos_j, mass_row, cent)
     else:
-        kernel = functools.partial(_force_kernel_vpu, eps2=eps2)
+        raise ValueError(f"unknown variant {variant!r}")
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_i, 3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_j), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_j), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_i, 3), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ni_pad, 3), pos.dtype),
+        out_shape=jax.ShapeDtypeStruct((ni_pad, 3), pos_i.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -174,39 +297,28 @@ def _forces_pallas_padded(pos, posT, mass_row, eps2, block_i, block_j,
             transcendentals=ni_pad * nj_pad,
         ),
         interpret=interpret,
-    )(pos, posT, mass_row)
+    )(*operands)
 
 
-def rect_forces_pallas(pos_i: jax.Array, pos_j: jax.Array, mass_j: jax.Array,
-                       eps2: float, block_i: int = 256, block_j: int = 1024,
-                       interpret: "bool | None" = None) -> jax.Array:
-    """Forces of body set j on body set i via the tiled kernel (VPU
-    accumulation — self-pairs vanish by r=0, so it is safe when the sets
-    overlap, e.g. the diagonal step of the ring sweep).
+def _prep_j_side(pos_p, mass_p, block_j):
+    posT = pos_p.T
+    mass_row = mass_p[None, :]
+    nj = pos_p.shape[0]
+    cent = jnp.mean(pos_p.reshape(nj // block_j, block_j, 3), axis=1)
+    return posT, mass_row, cent
 
-    Shapes must already be block multiples (the ring path pads shards once,
-    up front).  (Ni,3),(Nj,3),(Nj,) -> (Ni,3).
-    """
-    ni, nj = pos_i.shape[0], pos_j.shape[0]
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    while block_i > 8 and ni < block_i:
+
+def _shrink_blocks(n_i, n_j, block_i, block_j):
+    while block_i > 8 and n_i < block_i:
         block_i //= 2
-    while block_j > 128 and nj < block_j:
+    while block_j > 128 and n_j < block_j:
         block_j //= 2
-    if ni % block_i or nj % block_j:
-        raise ValueError(
-            f"rect_forces_pallas requires pre-padded shapes: Ni={ni} %% "
-            f"block_i={block_i}, Nj={nj} %% block_j={block_j} must be 0")
-    _validate_blocks(ni, block_i, block_j, nj_pad=nj)
-    return _forces_pallas_padded(
-        pos_i, pos_j.T, mass_j[None, :], float(eps2), block_i, block_j,
-        False, interpret)
+    return block_i, block_j
 
 
 def forces_pallas(pos: jax.Array, mass: jax.Array, eps2: float,
                   block_i: int = 256, block_j: int = 1024,
-                  use_mxu: bool = False,
+                  use_mxu: bool = False, variant: "str | None" = None,
                   interpret: "bool | None" = None) -> jax.Array:
     """Softened all-pairs accelerations via the tiled Pallas kernel.
 
@@ -214,25 +326,52 @@ def forces_pallas(pos: jax.Array, mass: jax.Array, eps2: float,
     ghosts to a block multiple (the analog of the reference's tid>=N guards,
     kernel.cu:90-92, made unnecessary by mass-0 padding).
     """
+    if variant is None:
+        variant = "mxu" if use_mxu else "vpu"
+    if variant not in VARIANTS:
+        raise ValueError(f"variant must be one of {VARIANTS}, got {variant!r}")
     n = pos.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    multiple = max(block_i, block_j)
-    n_pad = round_up(n, multiple)
-    # Shrink oversized blocks for small systems instead of erroring.
-    while block_i > 8 and n_pad < block_i:
-        block_i //= 2
-    while block_j > 128 and n_pad < block_j:
-        block_j //= 2
+    n_pad = round_up(n, max(block_i, block_j))
+    block_i, block_j = _shrink_blocks(n_pad, n_pad, block_i, block_j)
     n_pad = round_up(n, max(block_i, block_j))
     _validate_blocks(n_pad, block_i, block_j)
 
     pad = n_pad - n
     pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
     mass_p = jnp.pad(mass, (0, pad))
-    posT = pos_p.T                     # (3, N) j-side layout
-    mass_row = mass_p[None, :]         # (1, N)
+    posT, mass_row, cent = _prep_j_side(pos_p, mass_p, block_j)
     acc = _forces_pallas_padded(
-        pos_p, posT, mass_row, float(eps2), block_i, block_j, use_mxu,
-        interpret)
+        pos_p, posT, pos_p, mass_row, cent,
+        float(eps2), block_i, block_j, variant, interpret)
     return acc[:n]
+
+
+def rect_forces_pallas(pos_i: jax.Array, pos_j: jax.Array, mass_j: jax.Array,
+                       eps2: float, block_i: int = 256, block_j: int = 1024,
+                       variant: str = "vpu",
+                       interpret: "bool | None" = None) -> jax.Array:
+    """Forces of body set j on body set i via the tiled kernel.
+
+    ``vpu``/``fast`` variants are safe when the sets overlap only if
+    identical index ranges line up (the ring's diagonal step passes the
+    *same* arrays, so self-pairs vanish via r=0 in ``vpu``); the ring path
+    uses ``vpu`` by default.
+
+    Shapes must already be block multiples (the ring path pads shards once,
+    up front).  (Ni,3),(Nj,3),(Nj,) -> (Ni,3).
+    """
+    ni, nj = pos_i.shape[0], pos_j.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_i, block_j = _shrink_blocks(ni, nj, block_i, block_j)
+    if ni % block_i or nj % block_j:
+        raise ValueError(
+            f"rect_forces_pallas requires pre-padded shapes: Ni={ni} %% "
+            f"block_i={block_i}, Nj={nj} %% block_j={block_j} must be 0")
+    _validate_blocks(ni, block_i, block_j, nj_pad=nj)
+    posT, mass_row, cent = _prep_j_side(pos_j, mass_j, block_j)
+    return _forces_pallas_padded(
+        pos_i, posT, pos_j, mass_row, cent,
+        float(eps2), block_i, block_j, variant, interpret)

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark suite — the deliverable the reference README advertises but does
+not ship (README.md:15; SURVEY.md section 6).
+
+Runs the BASELINE.md config ladder (adapted to available hardware) and emits
+one JSON record per config plus a markdown table.  Configs:
+
+  1. oracle-gate   N=4,096 : 20-step lock-step vs f64 oracle (1% gates)
+  2. drift-gate    N=8,192 : 1k steps, energy drift vs native CPU oracle
+  3. throughput-64k  N=65,536 : GInter/s, pallas
+  4. throughput-1m   N=1,048,576 : GInter/s, pallas (config #3 of BASELINE)
+  5. ring          N=262,144 over all local devices: ring-sharded GInter/s
+  6. viz           N=65,536 : frames/s of sim+render+stream loop
+
+Usage: python scripts/bench_suite.py [--configs 1,3,4] [--out results.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def config_oracle_gate():
+    import jax
+    import nbody_tpu as nt
+    from nbody_tpu.oracle.numpy_oracle import oracle_run, relative_mismatch
+    cfg = nt.SimConfig(n_bodies=4096, impl="auto")
+    state = nt.init_state(cfg)
+    pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
+    mass = np.asarray(state.mass)
+    steps = 10  # chaotic-divergence horizon at N=4096 (see cli.cmd_validate)
+    out = nt.run_steps(state, cfg, steps)
+    opos, ovel, oacc = oracle_run(pos0, vel0, mass, cfg.eps2, cfg.dt, steps)
+    fracs = {
+        "pos": float(relative_mismatch(np.asarray(out.pos), opos,
+                                       0.01, 1.0).mean()),
+        "vel": float(relative_mismatch(np.asarray(out.vel), ovel,
+                                       0.01, 1e-2).mean()),
+        "acc": float(relative_mismatch(np.asarray(out.acc), oacc,
+                                       0.01, 1e-6).mean()),
+    }
+    return {"config": "oracle-gate", "n": 4096, "steps": steps,
+            "bad_fracs": fracs,
+            "passed": all(v <= 1e-3 for v in fracs.values()),
+            "backend": jax.default_backend()}
+
+
+def config_drift_gate(steps=1000):
+    import jax
+    import nbody_tpu as nt
+    from nbody_tpu.models.energy import energy_f64
+    from nbody_tpu.models.state import SimState
+    from nbody_tpu.oracle.native import available, native_run
+    n = 8192
+    cfg = nt.SimConfig(n_bodies=n, impl="auto")
+    state = nt.init_state(cfg)
+    pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
+    mass = np.asarray(state.mass)
+    out = nt.run_steps(state, cfg, steps)
+    e_dev = energy_f64(out, cfg.eps2)
+    rec = {"config": "drift-gate", "n": n, "steps": steps,
+           "backend": jax.default_backend(), "e_device": e_dev}
+    if available():
+        t0 = time.time()
+        opos, ovel, oacc = native_run(pos0, vel0, mass, cfg.eps2, cfg.dt,
+                                      steps, dtype=np.float64)
+        rec["oracle_seconds"] = round(time.time() - t0, 1)
+        e_ora = energy_f64(SimState(pos=opos, vel=ovel, acc=oacc,
+                                    mass=mass), cfg.eps2)
+        rec["e_oracle"] = e_ora
+        rec["energy_drift_vs_oracle"] = abs(e_dev - e_ora) / abs(e_ora)
+    return rec
+
+
+def _throughput(n, impl, steps, shards=None):
+    from nbody_tpu.bench_lib import run_benchmark
+    return run_benchmark(n=n, steps=steps, impl=impl, shards=shards)
+
+
+def config_throughput_64k():
+    rec = _throughput(65536, "auto", 20)
+    rec["config"] = "throughput-64k"
+    return rec
+
+
+def config_throughput_1m():
+    rec = _throughput(1048576, "auto", 3)
+    rec["config"] = "throughput-1m"
+    return rec
+
+
+def config_ring():
+    import jax
+    rec = _throughput(262144, "auto", 3, shards=jax.local_device_count())
+    rec["config"] = "ring"
+    return rec
+
+
+def config_viz():
+    import tempfile
+
+    import jax
+    import nbody_tpu as nt
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.viz.stream import FrameStreamer
+    n = 65536
+    cfg = nt.SimConfig(n_bodies=n, impl="auto", viz_every=1)
+    sim = Simulation(cfg)
+    with tempfile.TemporaryDirectory() as td:
+        with FrameStreamer(td) as fs:
+            # warmup/compile
+            sim.run(n_steps=2, log_every=0, frame_streamer=fs)
+            t0 = time.time()
+            steps = 20
+            sim.run(n_steps=steps, log_every=0, frame_streamer=fs)
+            dt = time.time() - t0
+        frames = fs.frames_written
+    return {"config": "viz", "n": n, "steps": steps,
+            "frames": frames, "fps": round(frames / dt, 2),
+            "steps_per_s": round(steps / dt, 2),
+            "backend": jax.default_backend()}
+
+
+CONFIGS = {
+    "1": ("oracle-gate", config_oracle_gate),
+    "2": ("drift-gate", config_drift_gate),
+    "3": ("throughput-64k", config_throughput_64k),
+    "4": ("throughput-1m", config_throughput_1m),
+    "5": ("ring", config_ring),
+    "6": ("viz", config_viz),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    results = []
+    for key in args.configs.split(","):
+        key = key.strip()
+        name, fn = CONFIGS[key]
+        print(f"== running config {key}: {name} ==", flush=True)
+        try:
+            rec = fn()
+        except Exception as e:
+            rec = {"config": name, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+    # Markdown summary
+    print("\n| config | key numbers |")
+    print("|---|---|")
+    for r in results:
+        key_bits = {k: v for k, v in r.items() if k not in ("config",)}
+        print(f"| {r['config']} | {json.dumps(key_bits)[:160]} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,6 +91,24 @@ def test_render(tmp_path, capsys):
     assert len(os.listdir(out_dir)) == 3
 
 
+def test_run_save_trajectory_then_render(tmp_path, capsys):
+    traj = str(tmp_path / "t.npz")
+    rc = main(["run", "--n", "64", "--steps", "6", "--impl", "xla_nxn",
+               "--save-trajectory", traj, "--snap-every", "2", "--quiet"])
+    assert rc == 0
+    with np.load(traj) as z:
+        assert z["snapshots"].shape == (3, 64, 3)
+    out_dir = str(tmp_path / "fr")
+    assert main(["render", traj, "--out-dir", out_dir]) == 0
+    assert len(os.listdir(out_dir)) == 3
+
+
+def test_run_sort_every(capsys):
+    rc = main(["run", "--n", "256", "--steps", "10", "--impl", "xla_nxn",
+               "--sort-every", "5", "--quiet"])
+    assert rc == 0
+
+
 def test_sharded_run(capsys):
     rc = main(["run", "--n", "512", "--steps", "5", "--impl", "xla",
                "--chunk", "64", "--shards", "8", "--quiet"])

@@ -1,0 +1,67 @@
+"""Energy / momentum diagnostics (absent in the reference; SURVEY.md §5)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nbody_tpu import SimConfig, SimState, run_steps
+from nbody_tpu.models.energy import (
+    energy_f64, kinetic_energy, potential_energy, total_momentum)
+from conftest import make_small_system
+
+EPS2 = 0.002
+
+
+def test_two_body_potential_analytic():
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [3.0, 4.0, 0.0]], jnp.float32)
+    mass = jnp.asarray([2.0, 5.0], jnp.float32)
+    pe = float(potential_energy(pos, mass, EPS2))
+    expect = -2.0 * 5.0 / np.sqrt(25.0 + EPS2)
+    # fp32 lax.rsqrt is an approximate (few-ulp) op
+    np.testing.assert_allclose(pe, expect, rtol=1e-4)
+
+
+def test_kinetic_energy():
+    vel = jnp.asarray([[1.0, 0, 0], [0, 2.0, 0]], jnp.float32)
+    mass = jnp.asarray([3.0, 4.0], jnp.float32)
+    ke = float(kinetic_energy(vel, mass))
+    np.testing.assert_allclose(ke, 0.5 * (3 * 1 + 4 * 4))
+
+
+def test_energy_f64_matches_device_energy():
+    pos, vel, mass = make_small_system(256, seed=60)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros((256, 3), jnp.float32),
+                     mass=jnp.asarray(mass))
+    e_host = energy_f64(state, EPS2)
+    e_dev = float(kinetic_energy(state.vel, state.mass)
+                  + potential_energy(state.pos, state.mass, EPS2))
+    np.testing.assert_allclose(e_dev, e_host, rtol=1e-4)
+
+
+def test_momentum_near_conserved():
+    """Total momentum starts at 0 (v=0 init) and must stay near 0 relative
+    to the momentum scale (forces are analytically antisymmetric; numeric
+    asymmetry is rounding only)."""
+    n = 256
+    pos, vel, mass = make_small_system(n, seed=61)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros((n, 3), jnp.float32),
+                     mass=jnp.asarray(mass))
+    cfg = SimConfig(n_bodies=n, impl="xla_nxn")
+    out = run_steps(state, cfg, 50)
+    p = np.asarray(total_momentum(out.vel, out.mass))
+    scale = float(np.sum(np.asarray(out.mass)
+                         * np.linalg.norm(np.asarray(out.vel), axis=1)))
+    assert np.linalg.norm(p) / scale < 1e-4
+
+
+def test_padding_does_not_change_energy():
+    from nbody_tpu.models.state import pad_state
+    pos, vel, mass = make_small_system(100, seed=62)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros((100, 3), jnp.float32),
+                     mass=jnp.asarray(mass))
+    padded = pad_state(state, 64)  # 100 -> 128 with ghosts
+    # f64 summation-order noise only
+    np.testing.assert_allclose(energy_f64(padded, EPS2),
+                               energy_f64(state, EPS2), rtol=1e-9)
