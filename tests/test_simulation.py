@@ -1,0 +1,79 @@
+"""Simulation driver: chunked run loop, watchdog, resume, energy tracking."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu import SimConfig, SimState
+from nbody_tpu.io.checkpoint import save_checkpoint
+from nbody_tpu.io.logger import RunLogger
+from nbody_tpu.models.simulation import Simulation
+from conftest import make_small_system
+
+
+def make_state(n, seed=0):
+    pos, vel, mass = make_small_system(n, seed=seed)
+    return SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                    acc=jnp.zeros((n, 3), jnp.float32),
+                    mass=jnp.asarray(mass))
+
+
+def test_run_reports_throughput():
+    cfg = SimConfig(n_bodies=128, impl="xla_nxn")
+    sim = Simulation(cfg, state=make_state(128, seed=70),
+                     logger=RunLogger(quiet=True))
+    res = sim.run(n_steps=30, log_every=10)
+    assert res.steps_run == 30
+    assert res.ms_per_step > 0
+    assert sim.step_count == 30
+
+
+def test_nan_watchdog_trips():
+    cfg = SimConfig(n_bodies=64, impl="xla_nxn")
+    state = make_state(64, seed=71)
+    # Poison one position with inf: the next force evaluation propagates it.
+    bad_pos = state.pos.at[0, 0].set(jnp.inf)
+    sim = Simulation(cfg, state=state._replace(pos=bad_pos),
+                     logger=RunLogger(quiet=True))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        sim.run(n_steps=5, log_every=1)
+
+
+def test_energy_tracking():
+    cfg = SimConfig(n_bodies=128, impl="xla_nxn", dt=0.001)
+    sim = Simulation(cfg, state=make_state(128, seed=72),
+                     logger=RunLogger(quiet=True))
+    res = sim.run(n_steps=5, log_every=0, track_energy=True)
+    assert res.energy_initial is not None and res.energy_final is not None
+    assert res.energy_drift is not None and res.energy_drift < 0.1
+
+
+def test_resume_classmethod(tmp_path):
+    cfg = SimConfig(n_bodies=64, impl="xla_nxn")
+    state = make_state(64, seed=73)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, state, step=7, cfg=cfg)
+    sim = Simulation.resume(p, logger=RunLogger(quiet=True))
+    assert sim.step_count == 7
+    assert sim.cfg == cfg
+    sim.run(n_steps=3, log_every=0)
+    assert sim.step_count == 10
+
+
+def test_sort_every_preserves_mass_multiset():
+    cfg = SimConfig(n_bodies=256, impl="xla_nxn")
+    state = make_state(256, seed=74)
+    sim = Simulation(cfg, state=state, logger=RunLogger(quiet=True))
+    sim.run(n_steps=6, log_every=0, sort_every=2)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(sim.state.mass)),
+        np.sort(np.asarray(state.mass)))
+
+
+def test_kdk_simulation_primes_acc():
+    cfg = SimConfig(n_bodies=64, impl="xla_nxn", integrator="kdk", dt=0.01)
+    sim = Simulation(cfg, state=make_state(64, seed=75),
+                     logger=RunLogger(quiet=True))
+    # prime_kdk ran in __init__: acc must be nonzero before the first step.
+    assert float(jnp.abs(sim.state.acc).max()) > 0
+    sim.run(n_steps=3, log_every=0)
