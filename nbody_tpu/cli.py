@@ -238,13 +238,20 @@ def cmd_render(args) -> int:
         mass = z["mass"] if "mass" in z else np.full(
             (snaps.shape[1],), 1e5, np.float32)
     cfg = SimConfig(n_bodies=snaps.shape[1])
+    rendered = []
     with FrameStreamer(args.out_dir) as fs:
         for i, pos in enumerate(snaps):
             frame = render_frame(
                 jnp.asarray(pos), jnp.asarray(mass), cfg.min_mass,
                 cfg.max_mass, args.max_view, args.width, args.height)
             fs.submit(i, frame)
+            if args.gif:
+                rendered.append(np.asarray(frame))
     print(f"rendered {snaps.shape[0]} frames -> {args.out_dir}")
+    if args.gif:
+        from .viz.gif import write_gif
+        n = write_gif(args.gif, rendered, delay_cs=args.gif_delay_cs)
+        print(f"wrote {n}-frame GIF -> {args.gif}")
     return 0
 
 
@@ -318,6 +325,9 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--width", type=int, default=800)
     rp.add_argument("--height", type=int, default=600)
     rp.add_argument("--max-view", type=float, default=200_000.0)
+    rp.add_argument("--gif", default=None, metavar="GIF",
+                    help="additionally assemble frames into an animated GIF")
+    rp.add_argument("--gif-delay-cs", type=int, default=4)
     rp.set_defaults(fn=cmd_render)
     return ap
 

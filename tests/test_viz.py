@@ -69,6 +69,26 @@ def test_png_roundtrip(tmp_path):
     np.testing.assert_array_equal(rows[:, 1:].reshape(48, 64, 3), rgb)
 
 
+def test_gif_writer(tmp_path):
+    from nbody_tpu.viz.gif import write_gif
+    frames = []
+    for i in range(3):
+        f = np.zeros((20, 30, 3), np.uint8)
+        f[5 + i, 7 + i] = (255, 0, 0)       # heavy body: red
+        f[10, 10] = (0, 255, 0)             # light body: green
+        frames.append(f)
+    p = str(tmp_path / "a.gif")
+    assert write_gif(p, frames) == 3
+    data = open(p, "rb").read()
+    assert data[:6] == b"GIF89a"
+    assert data[-1:] == b"\x3B"
+    import struct
+    w, h = struct.unpack("<HH", data[6:10])
+    assert (w, h) == (30, 20)
+    # 3 image descriptors
+    assert data.count(b"\x21\xF9") == 3
+
+
 def test_frame_streamer(tmp_path):
     out = str(tmp_path / "frames")
     with FrameStreamer(out) as fs:
