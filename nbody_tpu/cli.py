@@ -32,7 +32,7 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--eps2", type=float, default=0.002)
     p.add_argument("--impl", default="auto",
                    choices=["auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
-                            "pallas_fast"],
+                            "pallas_fast", "pallas_turbo"],
                    help="force backend (reference kernel-type prompt)")
     p.add_argument("--integrator", default="reference",
                    choices=["reference", "kdk"])
@@ -191,6 +191,13 @@ def cmd_validate(args) -> int:
         print(f"[{status}] {name}: {frac:.4%} of components outside "
               f"{args.rel_tol:.1%} relative tolerance "
               f"({int(bad.sum())}/{bad.size})")
+    # Momentum diagnostic (analytically conserved at exactly 0 from the
+    # v=0 init; numeric drift should be tiny relative to the momentum scale).
+    vel_f = np.asarray(dev.vel, dtype=np.float64)
+    mass_f = np.asarray(dev.mass, dtype=np.float64)
+    p_net = np.abs((mass_f[:, None] * vel_f).sum(axis=0)).max()
+    p_scale = float((mass_f * np.linalg.norm(vel_f, axis=1)).sum()) or 1.0
+    print(f"[INFO] momentum drift: |P|_max/scale = {p_net / p_scale:.3e}")
     if args.energy_gate > 0:
         e_dev = energy_f64(dev, cfg.eps2)
         # energy_f64 reads leaves via np.asarray, so plain numpy works.

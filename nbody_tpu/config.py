@@ -33,7 +33,7 @@ DEFAULT_N_BODIES = 8192
 DEFAULT_MAX_VIEW = 200_000.0
 
 _VALID_IMPLS = ("auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
-                "pallas_fast")
+                "pallas_fast", "pallas_turbo")
 _VALID_INTEGRATORS = ("reference", "kdk")
 
 

@@ -42,10 +42,10 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
         return forces_nxn(pos, mass, cfg.eps2)
     if impl == "xla":
         return forces_chunked(pos, mass, cfg.eps2, chunk=cfg.chunk)
-    if impl in ("pallas", "pallas_mxu", "pallas_fast"):
+    if impl in ("pallas", "pallas_mxu", "pallas_fast", "pallas_turbo"):
         from .forces_pallas import forces_pallas
         variant = {"pallas": "vpu", "pallas_mxu": "mxu",
-                   "pallas_fast": "fast"}[impl]
+                   "pallas_fast": "fast", "pallas_turbo": "turbo"}[impl]
         return forces_pallas(pos, mass, cfg.eps2,
                              block_i=cfg.block_i, block_j=cfg.block_j,
                              variant=variant)

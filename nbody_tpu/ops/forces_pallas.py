@@ -28,14 +28,21 @@ FADL/float3 family, with the same role: capability + optimization tiers):
   their gross magnitude) outside the strict 1% gate.  The self pair is
   masked out of the matmul on diagonal tiles (its ~1e18 product would
   poison the fp32 row accumulation).  Moves ~6 of ~19 flops/pair to the MXU.
-- ``fast`` (throughput-grade): additionally computes the *distances* on the
-  MXU via per-j-tile centering: d2 = |xi-c|^2 - 2(xi-c).(xj-c) + |xj-c|^2
-  with the cross term a HIGHEST-precision matmul.  fp32 cancellation bounds
-  its accuracy by the spatial extent of the j-tiles, so inputs should be
-  Morton-sorted (models/ordering.py) — then the error is ~1e-7*(d+s)^2,
-  within the 1%% gate except for astronomically rare ultra-close pairs.
-  Diagonal blocks mask the self-pair (its centered d2 is pure rounding
-  noise, clamped to eps2 to avoid NaN).
+- ``fast`` (near-validation-grade throughput kernel): additionally computes
+  the *distances* on the MXU via per-j-tile centering:
+  d2 = |u|^2 - 2 u.v + |v|^2 with u = xi - c, v = xj - c, where the cross
+  term is ONE bf16 MXU pass over K=18 packed operands encoding the six limb
+  products of 3-limb (~24-bit) splits of u and v — fp32-grade precision
+  with zero (BI,BJ)-sized VPU work.  Centered cancellation bounds accuracy
+  by j-tile spatial extent, so inputs should be Morton-sorted
+  (models/ordering.py).  Accumulation = the mxu variant's split path.
+  Measured (interpret, sorted N=256): 0 bad fraction at the 1% gate,
+  p99 3.6e-4.  Self-pair masked; d2 clamped at eps2 (centered rounding
+  noise could otherwise go negative for ultra-close pairs).
+- ``turbo`` (speed tier): ``fast`` with single-matmul bf16 accumulation —
+  individual pair forces carry bf16 (~0.4%) rounding; p99 component error
+  ~2-3%% vs oracle.  For throughput-first production runs where force
+  fidelity at the percent level is acceptable.
 
 Layout: positions are passed as (N,3) [i-side and matmul operand] and
 transposed (3,N) [j-side broadcasts] so both broadcast shapes are natural
@@ -59,7 +66,7 @@ from ..models.state import round_up
 # sharedMemPerBlock check (kernel.cu:637-641).
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
-VARIANTS = ("vpu", "mxu", "fast")
+VARIANTS = ("vpu", "mxu", "fast", "turbo")
 
 
 def _validate_blocks(ni_pad: int, block_i: int, block_j: int,
@@ -73,9 +80,10 @@ def _validate_blocks(ni_pad: int, block_i: int, block_j: int,
         raise ValueError(
             f"padded Ni={ni_pad}/Nj={nj_pad} must divide block_i={block_i} "
             f"and block_j={block_j}")
-    # Working set: ~4 live (BI,BJ) f32 temporaries + i/j blocks + accumulator,
-    # x2 for pipeline double-buffering of streamed operands.
-    interaction = 4 * block_i * block_j * 4
+    # Working set: ~2 live (BI,BJ) f32 temporaries (Mosaic fuses the
+    # elementwise chain; 512x2048 measured fine on v5e) + i/j blocks +
+    # accumulator, x2 for pipeline double-buffering of streamed operands.
+    interaction = 2 * block_i * block_j * 4
     blocks = 2 * (block_i * 3 + 3 * block_j + block_j + block_i * 3) * 4
     if interaction + blocks > _VMEM_BUDGET_BYTES:
         raise ValueError(
@@ -89,6 +97,30 @@ def _bf16_split(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def _bf16_split3(x):
+    """3-limb bfloat16 decomposition: hi+mid+lo reproduces x to ~24 bits
+    (fp32-grade)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _pack_u18(u):
+    """i-side packing for the K=18 cross-product matmul: with the j-side
+    packed as [vh vh vh vm vl vm], the contraction yields
+    uh.vh + um.vh + ul.vh + uh.vm + uh.vl + um.vm — the 6 limb products
+    of u.v down to ~2^-24 relative, in ONE bf16 MXU pass."""
+    uh, um, ul = _bf16_split3(u)
+    return jnp.concatenate([uh, um, ul, uh, uh, um], axis=1)
+
+
+def _pack_v18(v):
+    vh, vm, vl = _bf16_split3(v)
+    return jnp.concatenate([vh, vh, vh, vm, vl, vm], axis=1)
 
 
 def _mxu_accumulate(f, xi, pos_j, block_j):
@@ -176,7 +208,21 @@ def _force_kernel_mxu(pos_i_ref, posT_j_ref, pos_j_ref,
 
 
 def _force_kernel_fast(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
-                       cent_j_ref, acc_ref, *, eps2, block_i, block_j):
+                       acc_ref, *, eps2, block_i, block_j, split_f):
+    """Throughput kernel: centered distances AND accumulation on the MXU.
+
+    d2 via |u|^2 - 2 u.v + |v|^2 with u = xi - c_tile, v = xj - c_tile;
+    the cross term is ONE bf16 MXU pass over packed K=18 operands encoding
+    the six limb products of a 3-limb (~24-bit, fp32-grade) decomposition
+    of u and v — no (BI,BJ)-sized VPU work at all.
+
+    All j-side derived quantities (tile centroid, centered packs, hi/lo
+    position packs) are computed IN-KERNEL from the same plain inputs the
+    vpu/mxu kernels consume — O(BJ) per block, negligible vs the O(BI*BJ)
+    pair work.  (Earlier designs streamed them as precomputed operands;
+    XLA-computed auxiliary input streams get mis-ingested by the kernel on
+    this stack, so everything derived stays in-kernel.)
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -184,65 +230,58 @@ def _force_kernel_fast(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xi = pos_i_ref[:]                      # (BI, 3)
-    xj = pos_j_ref[:]                      # (BJ, 3)
-    xjT = posT_j_ref[:]                    # (3, BJ)
-    m = mass_j_ref[:]                      # (1, BJ)
-    # j-tile centroid: the full (n_tiles, 3) table lives in SMEM; index by
-    # grid position (Mosaic SMEM blocks must be full-array or (8,128)-tiled).
-    cx, cy, cz = cent_j_ref[j, 0], cent_j_ref[j, 1], cent_j_ref[j, 2]
+    xi = pos_i_ref[:]                          # (BI, 3) f32
+    xj = pos_j_ref[:]                          # (BJ, 3) f32
+    xjT = posT_j_ref[:]                        # (3, BJ) f32
 
-    u = xi - jnp.concatenate(
-        [jnp.full((block_i, 1), cx, jnp.float32),
-         jnp.full((block_i, 1), cy, jnp.float32),
-         jnp.full((block_i, 1), cz, jnp.float32)], axis=1)   # (BI, 3)
-    v = xj - jnp.concatenate(
-        [jnp.full((block_j, 1), cx, jnp.float32),
-         jnp.full((block_j, 1), cy, jnp.float32),
-         jnp.full((block_j, 1), cz, jnp.float32)], axis=1)   # (BJ, 3)
+    c = jnp.mean(xj, axis=0, keepdims=True)    # (1, 3) j-tile centroid
+    u = xi - c                                 # (BI, 3)
+    v = xj - c                                 # (BJ, 3)
     un2 = jnp.sum(u * u, axis=1, keepdims=True)              # (BI, 1)
-    vx = xjT[0:1, :] - cx                                    # (1, BJ)
-    vy = xjT[1:2, :] - cy
-    vz = xjT[2:3, :] - cz
-    vn2T = vx * vx + vy * vy + vz * vz                       # (1, BJ)
+    u18 = _pack_u18(u)                                       # (BI, 18) bf16
+    v18 = _pack_v18(v)                                       # (BJ, 18) bf16
+    # |v|^2 in (1, BJ) orientation from the transposed positions.
+    vxT = xjT[0:1, :] - c[0:1, 0:1]
+    vyT = xjT[1:2, :] - c[0:1, 1:2]
+    vzT = xjT[2:3, :] - c[0:1, 2:3]
+    vn2 = vxT * vxT + vyT * vyT + vzT * vzT                  # (1, BJ)
     cross = jax.lax.dot_general(
-        u, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                 # (BI, BJ) MXU
-    d2 = (un2 + eps2) - (cross + cross) + vn2T
-    # Centered cancellation can leave tiny/negative noise for self and
-    # ultra-close pairs; clamp at the softening floor (the closest physical
-    # d2 is eps2 anyway).
+        u18, v18, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (BI, BJ) MXU
+    d2 = (un2 + eps2) - (cross + cross) + vn2
+    # Centered cancellation leaves rounding noise for self/ultra-close
+    # pairs; clamp at the softening floor (closest physical d2 is eps2).
     d2 = jnp.maximum(d2, eps2)
-    f = m * jax.lax.rsqrt(d2 * d2 * d2)
+    f = mass_j_ref[:] * jax.lax.rsqrt(d2 * d2 * d2)
 
-    # Mask the self-pair on diagonal-overlapping tiles (its centered d2 is
-    # rounding noise, and the accumulation matmul would multiply it by a
-    # nonzero position).
+    # Zero the self-pair before the accumulate matmul (see mxu kernel note).
     i0 = i * block_i
     j0 = j * block_j
-    overlap = jnp.logical_and(i0 < j0 + block_j, i0 + block_i > j0)
+    row = i0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 0)
+    col = j0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 1)
+    f = jnp.where(row == col, 0.0, f)
 
-    def tile_acc(fm):
-        return _mxu_accumulate(fm, xi, xj, block_j)
-
-    @pl.when(overlap)
-    def _():
-        row = i0 + jax.lax.broadcasted_iota(
-            jnp.int32, (block_i, block_j), 0)
-        col = j0 + jax.lax.broadcasted_iota(
-            jnp.int32, (block_i, block_j), 1)
-        acc_ref[:] += tile_acc(jnp.where(row == col, 0.0, f))
-
-    @pl.when(jnp.logical_not(overlap))
-    def _():
-        acc_ref[:] += tile_acc(f)
+    hj, lj = _bf16_split(xj)
+    xj8 = jnp.concatenate(
+        [hj, lj, jnp.ones((block_j, 1), jnp.bfloat16),
+         jnp.zeros((block_j, 1), jnp.bfloat16)], axis=1)     # (BJ, 8) bf16
+    dn = (((1,), (0,)), ((), ()))
+    if split_f:
+        fhi, flo = _bf16_split(f)
+        out = (jax.lax.dot_general(fhi, xj8, dn,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(flo, xj8, dn,
+                                     preferred_element_type=jnp.float32))
+    else:
+        out = jax.lax.dot_general(f.astype(jnp.bfloat16), xj8, dn,
+                                  preferred_element_type=jnp.float32)
+    acc_ref[:] += (out[:, 0:3] + out[:, 3:6]) - xi * out[:, 6:7]
 
 
 @functools.partial(
     jax.jit, static_argnames=("eps2", "block_i", "block_j", "variant",
                               "interpret"))
-def _forces_pallas_padded(pos_i, posT, pos_j, mass_row, cent,
+def _forces_pallas_padded(pos_i, posT, pos_j, mass_row,
                           eps2, block_i, block_j, variant, interpret):
     """Tiled sweep of the (Ni x Nj) interaction block.  ``pos_i``/``mass_col``
     are the i-side (Ni,3)/(Ni,1); ``posT``/``pos_j``/``mass_row``/``cent``
@@ -263,6 +302,7 @@ def _forces_pallas_padded(pos_i, posT, pos_j, mass_row, cent,
                                memory_space=pltpu.VMEM)
     spec_cent_j = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (n_tiles, 3)
 
+    scratch_shapes = []
     if variant == "vpu":
         kernel = functools.partial(_force_kernel_vpu, eps2=eps2)
         in_specs = [spec_pos_i, spec_posT_j, spec_mass_j]
@@ -272,12 +312,12 @@ def _forces_pallas_padded(pos_i, posT, pos_j, mass_row, cent,
             _force_kernel_mxu, eps2=eps2, block_i=block_i, block_j=block_j)
         in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
         operands = (pos_i, posT, pos_j, mass_row)
-    elif variant == "fast":
+    elif variant in ("fast", "turbo"):
         kernel = functools.partial(
-            _force_kernel_fast, eps2=eps2, block_i=block_i, block_j=block_j)
-        in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j,
-                    spec_cent_j]
-        operands = (pos_i, posT, pos_j, mass_row, cent)
+            _force_kernel_fast, eps2=eps2, block_i=block_i, block_j=block_j,
+            split_f=(variant == "fast"))
+        in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
+        operands = (pos_i, posT, pos_j, mass_row)
     else:
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -288,6 +328,7 @@ def _forces_pallas_padded(pos_i, posT, pos_j, mass_row, cent,
         out_specs=pl.BlockSpec((block_i, 3), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ni_pad, 3), pos_i.dtype),
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -300,12 +341,8 @@ def _forces_pallas_padded(pos_i, posT, pos_j, mass_row, cent,
     )(*operands)
 
 
-def _prep_j_side(pos_p, mass_p, block_j):
-    posT = pos_p.T
-    mass_row = mass_p[None, :]
-    nj = pos_p.shape[0]
-    cent = jnp.mean(pos_p.reshape(nj // block_j, block_j, 3), axis=1)
-    return posT, mass_row, cent
+def _prep_j_side(pos_p, mass_p):
+    return pos_p.T, mass_p[None, :]
 
 
 def _shrink_blocks(n_i, n_j, block_i, block_j):
@@ -341,9 +378,9 @@ def forces_pallas(pos: jax.Array, mass: jax.Array, eps2: float,
     pad = n_pad - n
     pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
     mass_p = jnp.pad(mass, (0, pad))
-    posT, mass_row, cent = _prep_j_side(pos_p, mass_p, block_j)
+    posT, mass_row = _prep_j_side(pos_p, mass_p)
     acc = _forces_pallas_padded(
-        pos_p, posT, pos_p, mass_row, cent,
+        pos_p, posT, pos_p, mass_row,
         float(eps2), block_i, block_j, variant, interpret)
     return acc[:n]
 
@@ -371,7 +408,7 @@ def rect_forces_pallas(pos_i: jax.Array, pos_j: jax.Array, mass_j: jax.Array,
             f"rect_forces_pallas requires pre-padded shapes: Ni={ni} %% "
             f"block_i={block_i}, Nj={nj} %% block_j={block_j} must be 0")
     _validate_blocks(ni, block_i, block_j, nj_pad=nj)
-    posT, mass_row, cent = _prep_j_side(pos_j, mass_j, block_j)
+    posT, mass_row = _prep_j_side(pos_j, mass_j)
     return _forces_pallas_padded(
-        pos_i, posT, pos_j, mass_row, cent,
+        pos_i, posT, pos_j, mass_row,
         float(eps2), block_i, block_j, variant, interpret)

@@ -61,6 +61,21 @@ def test_pallas_fast_matches_oracle_sorted(n, bi, bj):
                           max_frac_bad=1e-3)
 
 
+def test_pallas_turbo_loose_tier():
+    """Speed tier: bf16 pair forces — gate at its documented ~percent-level
+    accuracy."""
+    from nbody_tpu.models.ordering import morton_permutation
+    pos, _, mass = make_small_system(512, seed=17)
+    perm = np.asarray(morton_permutation(jnp.asarray(pos), -1e5, 1e5))
+    pos, mass = pos[perm], mass[perm]
+    acc = np.asarray(forces_pallas(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=16, block_j=256,
+        variant="turbo"))
+    ref = oracle_forces(pos, mass, EPS2)
+    assert_matches_oracle(acc, ref, "acc(pallas-turbo)", rel_tol=0.05,
+                          abs_tol=1e-2, max_frac_bad=0.02)
+
+
 def test_pallas_cross_checks_xla():
     """Two independent device implementations agree tightly."""
     pos, _, mass = make_small_system(512, seed=12)
