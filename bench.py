@@ -12,9 +12,10 @@ import sys
 
 
 def main() -> int:
-    # Keep the benchmark bounded: headline N=262144 unless overridden.
-    n = int(os.environ.get("NBODY_BENCH_N", "262144"))
-    steps = int(os.environ.get("NBODY_BENCH_STEPS", "10"))
+    # Headline config: N=1M single chip, exact Pallas kernel (BASELINE.md
+    # config #3). ~6 s/step on v5e; steps kept small to bound runtime.
+    n = int(os.environ.get("NBODY_BENCH_N", "1048576"))
+    steps = int(os.environ.get("NBODY_BENCH_STEPS", "3"))
     impl = os.environ.get("NBODY_BENCH_IMPL", "auto")
 
     import jax

@@ -41,8 +41,8 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--max-pos", type=float, default=100_000.0)
     p.add_argument("--min-mass", type=float, default=100_000.0)
     p.add_argument("--max-mass", type=float, default=1_000_000_000.0)
-    p.add_argument("--block-i", type=int, default=256)
-    p.add_argument("--block-j", type=int, default=1024)
+    p.add_argument("--block-i", type=int, default=512)
+    p.add_argument("--block-j", type=int, default=2048)
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")

@@ -75,8 +75,10 @@ class SimConfig:
     dtype: str = "float32"
 
     # Pallas tuning (the analog of THREADS_PER_BLOCK / TILE_WIDTH_FACTOR).
-    block_i: int = 256
-    block_j: int = 1024
+    # 512x2048 measured fastest on v5e across variants (scripts/tune_blocks.py);
+    # auto-shrinks for small N.
+    block_i: int = 512
+    block_j: int = 2048
 
     # Chunk size for the chunked-XLA force path.
     chunk: int = 1024

@@ -28,21 +28,23 @@ FADL/float3 family, with the same role: capability + optimization tiers):
   their gross magnitude) outside the strict 1% gate.  The self pair is
   masked out of the matmul on diagonal tiles (its ~1e18 product would
   poison the fp32 row accumulation).  Moves ~6 of ~19 flops/pair to the MXU.
-- ``fast`` (near-validation-grade throughput kernel): additionally computes
-  the *distances* on the MXU via per-j-tile centering:
+- ``fast`` (near-validation-grade, MXU-distance demonstration): additionally
+  computes the *distances* on the MXU via per-j-tile centering:
   d2 = |u|^2 - 2 u.v + |v|^2 with u = xi - c, v = xj - c, where the cross
   term is ONE bf16 MXU pass over K=18 packed operands encoding the six limb
   products of 3-limb (~24-bit) splits of u and v — fp32-grade precision
-  with zero (BI,BJ)-sized VPU work.  Centered cancellation bounds accuracy
-  by j-tile spatial extent, so inputs should be Morton-sorted
-  (models/ordering.py).  Accumulation = the mxu variant's split path.
-  Measured (interpret, sorted N=256): 0 bad fraction at the 1% gate,
-  p99 3.6e-4.  Self-pair masked; d2 clamped at eps2 (centered rounding
-  noise could otherwise go negative for ultra-close pairs).
-- ``turbo`` (speed tier): ``fast`` with single-matmul bf16 accumulation —
-  individual pair forces carry bf16 (~0.4%) rounding; p99 component error
-  ~2-3%% vs oracle.  For throughput-first production runs where force
-  fidelity at the percent level is acceptable.
+  with zero (BI,BJ)-sized VPU distance work.  Centered cancellation bounds
+  accuracy by j-tile spatial extent, so inputs should be Morton-sorted
+  (models/ordering.py).  Measured compiled on v5e (N=512): 0 bad fraction
+  at the 1% gate, p99 3e-4.  NOTE: on v5e the in-kernel j-side derivation
+  plus MXU passes outweigh the saved VPU flops, so this variant is
+  *slower* than ``vpu`` (~110 vs ~142 G/s at 65k) — kept as the
+  capability-parity "alternative decomposition" (the role the reference's
+  reduction family plays) and for hardware where the balance differs.
+- ``turbo`` (speed tier, fastest measured): exact VPU distances + ONE bf16
+  accumulate matmul.  bf16 rounding of f puts ~0.4% on each pair force
+  (p99 component error ~1e-2 vs oracle — the documented contract).
+  ~1.25x the exact ``vpu`` kernel on v5e.
 
 Layout: positions are passed as (N,3) [i-side and matmul operand] and
 transposed (3,N) [j-side broadcasts] so both broadcast shapes are natural
@@ -162,6 +164,50 @@ def _force_kernel_vpu(pos_i_ref, posT_j_ref, mass_j_ref, acc_ref, *, eps2):
     ay = jnp.sum(f * dy, axis=1, keepdims=True)
     az = jnp.sum(f * dz, axis=1, keepdims=True)
     acc_ref[:] += jnp.concatenate([ax, ay, az], axis=1)
+
+
+def _force_kernel_turbo(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
+                        acc_ref, *, eps2, block_i, block_j):
+    """Speed tier: exact VPU distances + ONE bf16 accumulate matmul.
+
+    The 6 accumulation flops/pair (f*dx + reductions) move to a single
+    bf16 MXU pass ``bf16(f) @ [xj_hi | xj_lo | 1 | 0]``; bf16 rounding of f
+    puts ~0.4% error on each pair force (p99 component error ~1-2% vs the
+    oracle — the documented contract of this tier).  Fastest variant
+    measured on v5e (~1.25x the exact vpu kernel)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xi = pos_i_ref[:]                      # (BI, 3)
+    xjT = posT_j_ref[:]                    # (3, BJ)
+    m = mass_j_ref[:]                      # (1, BJ)
+
+    dx = xjT[0:1, :] - xi[:, 0:1]
+    dy = xjT[1:2, :] - xi[:, 1:2]
+    dz = xjT[2:3, :] - xi[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz + eps2
+    f = m * jax.lax.rsqrt(d2 * d2 * d2)    # (BI, BJ) f32
+
+    # Mask the self-pair before the matmul (see the mxu kernel note).
+    i0 = i * block_i
+    j0 = j * block_j
+    row = i0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 0)
+    col = j0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 1)
+    f = jnp.where(row == col, 0.0, f)
+
+    xj = pos_j_ref[:]
+    hj, lj = _bf16_split(xj)
+    xj8 = jnp.concatenate(
+        [hj, lj, jnp.ones((block_j, 1), jnp.bfloat16),
+         jnp.zeros((block_j, 1), jnp.bfloat16)], axis=1)
+    out = jax.lax.dot_general(
+        f.astype(jnp.bfloat16), xj8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += (out[:, 0:3] + out[:, 3:6]) - xi * out[:, 6:7]
 
 
 def _force_kernel_mxu(pos_i_ref, posT_j_ref, pos_j_ref,
@@ -312,10 +358,15 @@ def _forces_pallas_padded(pos_i, posT, pos_j, mass_row,
             _force_kernel_mxu, eps2=eps2, block_i=block_i, block_j=block_j)
         in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
         operands = (pos_i, posT, pos_j, mass_row)
-    elif variant in ("fast", "turbo"):
+    elif variant == "fast":
         kernel = functools.partial(
             _force_kernel_fast, eps2=eps2, block_i=block_i, block_j=block_j,
-            split_f=(variant == "fast"))
+            split_f=True)
+        in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
+        operands = (pos_i, posT, pos_j, mass_row)
+    elif variant == "turbo":
+        kernel = functools.partial(
+            _force_kernel_turbo, eps2=eps2, block_i=block_i, block_j=block_j)
         in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
         operands = (pos_i, posT, pos_j, mass_row)
     else:
