@@ -53,20 +53,21 @@ def config_oracle_gate():
             "backend": jax.default_backend()}
 
 
-def config_drift_gate(steps=1000):
+def config_drift_gate(steps=1000, eps2=None, tag="drift-gate"):
     import jax
     import nbody_tpu as nt
     from nbody_tpu.models.energy import energy_f64
     from nbody_tpu.models.state import SimState
     from nbody_tpu.oracle.native import available, native_run
     n = 8192
-    cfg = nt.SimConfig(n_bodies=n, impl="auto")
+    kw = {} if eps2 is None else {"eps2": eps2}
+    cfg = nt.SimConfig(n_bodies=n, impl="auto", **kw)
     state = nt.init_state(cfg)
     pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
     mass = np.asarray(state.mass)
     out = nt.run_steps(state, cfg, steps)
     e_dev = energy_f64(out, cfg.eps2)
-    rec = {"config": "drift-gate", "n": n, "steps": steps,
+    rec = {"config": tag, "n": n, "steps": steps, "eps2": cfg.eps2,
            "backend": jax.default_backend(), "e_device": e_dev}
     if available():
         t0 = time.time()
@@ -76,8 +77,18 @@ def config_drift_gate(steps=1000):
         e_ora = energy_f64(SimState(pos=opos, vel=ovel, acc=oacc,
                                     mass=mass), cfg.eps2)
         rec["e_oracle"] = e_ora
-        rec["energy_drift_vs_oracle"] = abs(e_dev - e_ora) / abs(e_ora)
+        rec["energy_drift_vs_oracle"] = float(abs(e_dev - e_ora) / abs(e_ora))
+        rec["passed_1e-3"] = bool(rec["energy_drift_vs_oracle"] <= 1e-3)
     return rec
+
+
+def config_drift_gate_soft():
+    """BASELINE's 1e-3 energy-drift criterion on a well-posed configuration:
+    softening ~ interparticle spacing / 10 regularizes close encounters
+    (the reference's eps2=0.002 at 1e5-scale positions is effectively
+    unsoftened, making the dynamics chaotic past any fp32 tolerance —
+    see cli.py::cmd_validate)."""
+    return config_drift_gate(steps=1000, eps2=1e6, tag="drift-gate-soft")
 
 
 def _throughput(n, impl, steps, shards=None):
@@ -136,6 +147,7 @@ CONFIGS = {
     "4": ("throughput-1m", config_throughput_1m),
     "5": ("ring", config_ring),
     "6": ("viz", config_viz),
+    "7": ("drift-gate-soft", config_drift_gate_soft),
 }
 
 
