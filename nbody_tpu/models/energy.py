@@ -70,7 +70,8 @@ def energy_f64(state, eps2: float) -> float:
     ke = 0.5 * float(np.sum(mass * np.sum(vel * vel, axis=-1)))
     pe = 0.0
     n = pos.shape[0]
-    chunk = 4096
+    # Bound the (chunk, N, 3) float64 temporary to ~400 MB.
+    chunk = max(1, min(n, 16 * 1024 * 1024 // max(n, 1) + 1))
     for s in range(0, n, chunk):
         pc = pos[s:s + chunk]
         mc = mass[s:s + chunk]
