@@ -69,7 +69,9 @@ def run_trajectory(
         impl: "str | None" = None) -> Tuple[SimState, jax.Array]:
     """Run n_steps, capturing positions every ``snap_every`` steps on-device.
 
-    Returns (final_state, snapshots (n_steps//snap_every, N, 3)).
+    Returns (final_state, snapshots (n_steps//snap_every, N, 3)).  If
+    snap_every does not divide n_steps, the remainder steps still run after
+    the last snapshot (the final state reflects all n_steps).
     """
     def outer(s, _):
         s = jax.lax.fori_loop(
@@ -77,4 +79,8 @@ def run_trajectory(
         return s, s.pos
     n_snaps = n_steps // snap_every
     final, snaps = jax.lax.scan(outer, state, None, length=n_snaps)
+    rem = n_steps - n_snaps * snap_every
+    if rem:
+        final = jax.lax.fori_loop(
+            0, rem, lambda _, st: step(st, cfg, impl=impl), final)
     return final, snaps

@@ -56,6 +56,19 @@ def test_trajectory_capture():
     assert not np.allclose(np.asarray(snaps[0]), np.asarray(snaps[-1]))
 
 
+def test_trajectory_remainder_steps_run():
+    """snap_every not dividing n_steps: the final state still reflects all
+    n_steps (remainder runs after the last snapshot)."""
+    n = 64
+    state, *_ = make_state(n, seed=8)
+    cfg = SimConfig(n_bodies=n, impl="xla_nxn")
+    final, snaps = run_trajectory(state, cfg, n_steps=7, snap_every=3)
+    assert snaps.shape[0] == 2
+    expect = run_steps(state, cfg, 7)
+    np.testing.assert_array_equal(np.asarray(final.pos),
+                                  np.asarray(expect.pos))
+
+
 def test_kdk_integrator_runs_and_conserves_better():
     """KDK is the opt-in textbook leapfrog; check it runs and stays finite."""
     n = 128
