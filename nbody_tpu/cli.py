@@ -232,6 +232,47 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_interactive(args) -> int:
+    """The reference's interactive console UX, 1:1 (main.cpp:163-228):
+    kernel type (0 = tiled all-pairs, 1 = interaction-parallel/reduction),
+    visualization y/n, step count — with retry loops on bad input."""
+    import jax
+
+    def ask(prompt, parse, what):
+        while True:
+            try:
+                return parse(input(prompt))
+            except (ValueError, KeyError):
+                print(f"Please insert a valid {what}")
+
+    kernel = ask(
+        "Select the kernel to launch "
+        "(0: tiled all-pairs, 1: interaction-parallel): ",
+        lambda s: {"0": 0, "1": 1}[s.strip()], "kernel type (0 or 1)")
+    viz = ask("Enable visualization? (y/n): ",
+              lambda s: {"y": True, "n": False}[s.strip().lower()],
+              "choice (y or n)")
+    steps = ask("Insert the number of steps to simulate: ",
+                lambda s: int(s), "integer")
+
+    on_tpu = jax.default_backend() == "tpu"
+    if kernel == 0:
+        impl = "pallas" if on_tpu else "xla"
+    else:
+        # The reduction-family analog: interaction-parallel path.
+        impl = "pallas_mxu" if on_tpu else "xla_nxn"
+
+    run_args = ["run", "--n", str(args.n), "--steps", str(steps),
+                "--impl", impl,
+                "--log-every", str(max(1, min(100, steps // 5)))]
+    if viz:
+        run_args += ["--viz", "--viz-dir", args.viz_dir,
+                     "--viz-every", str(max(1, steps // 100))]
+    print(f"Starting simulation: N={args.n}, steps={steps}, impl={impl}, "
+          f"visualization={'on' if viz else 'off'}")
+    return main(run_args)
+
+
 def cmd_render(args) -> int:
     from .config import SimConfig
     from .viz.raster import render_frame
@@ -325,6 +366,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     ip = sub.add_parser("info", help="device properties")
     ip.set_defaults(fn=cmd_info)
+
+    itp = sub.add_parser(
+        "interactive",
+        help="the reference's stdin console flow (main.cpp:163-228)")
+    itp.add_argument("--n", type=int, default=8192)
+    itp.add_argument("--viz-dir", default="frames")
+    itp.set_defaults(fn=cmd_interactive)
 
     rp = sub.add_parser("render", help="rasterize saved trajectory to PNGs")
     rp.add_argument("trajectory")

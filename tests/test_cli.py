@@ -109,6 +109,18 @@ def test_run_sort_every(capsys):
     assert rc == 0
 
 
+def test_interactive_flow(monkeypatch, capsys):
+    """Reference console parity: bad input retries, then a working run."""
+    answers = iter(["7", "1", "maybe", "n", "not-a-number", "5"])
+    monkeypatch.setattr("builtins.input", lambda prompt: next(answers))
+    rc = main(["interactive", "--n", "128"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("Please insert a valid") == 3
+    assert "Starting simulation" in out
+    assert "Simulation complete" in out
+
+
 def test_sharded_run(capsys):
     rc = main(["run", "--n", "512", "--steps", "5", "--impl", "xla",
                "--chunk", "64", "--shards", "8", "--quiet"])
