@@ -442,14 +442,19 @@ def rect_forces_pallas(pos_i: jax.Array, pos_j: jax.Array, mass_j: jax.Array,
                        interpret: "bool | None" = None) -> jax.Array:
     """Forces of body set j on body set i via the tiled kernel.
 
-    ``vpu``/``fast`` variants are safe when the sets overlap only if
-    identical index ranges line up (the ring's diagonal step passes the
-    *same* arrays, so self-pairs vanish via r=0 in ``vpu``); the ring path
-    uses ``vpu`` by default.
+    Only the ``vpu`` variant is valid here: it needs no self-pair mask
+    (r=0 pairs vanish naturally on the ring's diagonal step, where the same
+    arrays are passed), whereas the mxu/fast/turbo variants mask by global
+    index equality, which is meaningless between two *different* body sets
+    (a rotated ring tile) and would zero legitimate pairs.
 
     Shapes must already be block multiples (the ring path pads shards once,
     up front).  (Ni,3),(Nj,3),(Nj,) -> (Ni,3).
     """
+    if variant != "vpu":
+        raise ValueError(
+            "rect_forces_pallas supports only variant='vpu': index-equality "
+            "self-pair masks are invalid across distinct body sets")
     ni, nj = pos_i.shape[0], pos_j.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
