@@ -109,6 +109,29 @@ def test_run_sort_every(capsys):
     assert rc == 0
 
 
+def test_run_plummer_init(capsys):
+    rc = main(["run", "--n", "128", "--steps", "5", "--impl", "xla_nxn",
+               "--init", "plummer", "--quiet"])
+    assert rc == 0
+
+
+def test_render_from_checkpoint(tmp_path):
+    import jax.numpy as jnp
+    from nbody_tpu import SimConfig, SimState
+    from nbody_tpu.io.checkpoint import save_checkpoint
+    r = np.random.default_rng(0)
+    state = SimState(
+        pos=jnp.asarray(r.uniform(-1e5, 1e5, (64, 3)).astype(np.float32)),
+        vel=jnp.zeros((64, 3), jnp.float32),
+        acc=jnp.zeros((64, 3), jnp.float32),
+        mass=jnp.asarray(r.uniform(1e5, 1e9, 64).astype(np.float32)))
+    ck = str(tmp_path / "ck.npz")
+    save_checkpoint(ck, state, step=1, cfg=SimConfig(n_bodies=64))
+    out_dir = str(tmp_path / "fr")
+    assert main(["render", ck, "--out-dir", out_dir]) == 0
+    assert len(os.listdir(out_dir)) == 1
+
+
 def test_interactive_flow(monkeypatch, capsys):
     """Reference console parity: bad input retries, then a working run."""
     answers = iter(["7", "1", "maybe", "n", "not-a-number", "5"])
