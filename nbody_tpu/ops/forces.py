@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax
 
+import jax.numpy as jnp
+
 from ..config import SimConfig
 from .forces_xla import forces_chunked, forces_nxn
 
@@ -43,6 +45,10 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
     if impl == "xla":
         return forces_chunked(pos, mass, cfg.eps2, chunk=cfg.chunk)
     if impl in ("pallas", "pallas_mxu", "pallas_fast", "pallas_turbo"):
+        if pos.dtype != jnp.float32:
+            raise ValueError(
+                f"pallas force kernels are float32-only (got {pos.dtype}); "
+                "use impl='xla' for float64/bfloat16 state")
         from .forces_pallas import forces_pallas
         variant = {"pallas": "vpu", "pallas_mxu": "mxu",
                    "pallas_fast": "fast", "pallas_turbo": "turbo"}[impl]

@@ -97,7 +97,7 @@ def forces_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
         i_ids = start + jax.lax.broadcasted_iota(jnp.int32, (f.shape[0], 1), 0)
         f = jnp.where(j_ids == i_ids, 0.0, f)
         acc_c = (
-            jnp.dot(f, pos, preferred_element_type=jnp.float32)
+            jnp.dot(f, pos, preferred_element_type=pos.dtype)
             - pos_c * jnp.sum(f, axis=1, keepdims=True)
         )
         return None, acc_c.astype(pos.dtype)

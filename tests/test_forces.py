@@ -80,6 +80,26 @@ def test_two_body_analytic():
     np.testing.assert_allclose(acc[1], [-2.0 * expect, 0, 0], rtol=1e-5)
 
 
+def test_pallas_rejects_non_f32():
+    cfg = SimConfig(n_bodies=64, dtype="bfloat16")
+    pos = jnp.zeros((64, 3), jnp.bfloat16)
+    mass = jnp.ones((64,), jnp.bfloat16)
+    with pytest.raises(ValueError, match="float32-only"):
+        compute_forces(pos, mass, cfg, impl="pallas")
+
+
+def test_xla_supports_f64():
+    """float64 state runs through the XLA backend (science-accuracy mode)."""
+    import jax
+    pos, _, mass = make_small_system(128, seed=5, dtype=np.float64)
+    with jax.enable_x64(True):
+        acc = np.asarray(forces_chunked(
+            jnp.asarray(pos, dtype=jnp.float64),
+            jnp.asarray(mass, dtype=jnp.float64), EPS2, chunk=64))
+    ref = oracle_forces(pos, mass, EPS2)
+    np.testing.assert_allclose(acc, ref, rtol=1e-8, atol=1e-8)
+
+
 def test_dispatch_auto():
     cfg = SimConfig(n_bodies=256, impl="auto")
     pos, _, mass = make_small_system(256, seed=4)
