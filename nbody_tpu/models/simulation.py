@@ -174,6 +174,10 @@ class Simulation:
                     ginter_per_s=round(timer.ginter_per_s, 2),
                 )
 
+        if checkpoint_path and checkpoint_every <= 0:
+            # A checkpoint path without a cadence means "save the end state".
+            save_checkpoint(checkpoint_path, self.state, self.step_count, cfg)
+
         e1 = energy_f64(self.state, cfg.eps2) if track_energy else None
         if timer.total_steps:
             ms_per_step = timer.ms_per_step

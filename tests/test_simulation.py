@@ -70,6 +70,19 @@ def test_sort_every_preserves_mass_multiset():
         np.sort(np.asarray(state.mass)))
 
 
+def test_checkpoint_path_without_cadence_saves_final(tmp_path):
+    from nbody_tpu.io.checkpoint import load_checkpoint
+    cfg = SimConfig(n_bodies=64, impl="xla_nxn")
+    sim = Simulation(cfg, state=make_state(64, seed=76),
+                     logger=RunLogger(quiet=True))
+    p = str(tmp_path / "final.npz")
+    sim.run(n_steps=4, log_every=0, checkpoint_path=p)
+    state, step, _ = load_checkpoint(p)
+    assert step == 4
+    np.testing.assert_array_equal(np.asarray(state.pos),
+                                  np.asarray(sim.state.pos))
+
+
 def test_kdk_simulation_primes_acc():
     cfg = SimConfig(n_bodies=64, impl="xla_nxn", integrator="kdk", dt=0.01)
     sim = Simulation(cfg, state=make_state(64, seed=75),
