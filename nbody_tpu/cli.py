@@ -105,7 +105,6 @@ def cmd_run(args) -> int:
         streamer = FrameStreamer(args.viz_dir)
     profile_ctx = None
     if args.profile:
-        import contextlib
         import jax
         try:
             profile_ctx = jax.profiler.trace(args.profile)

@@ -128,8 +128,9 @@ def _pack_v18(v):
 def _mxu_accumulate(f, xi, pos_j, block_j):
     """acc contribution of this tile via two bf16 MXU matmuls:
     (f_hi + f_lo) @ [xj_hi | xj_lo | 1 | 0]  ->  sum f*xj and rowsum(f).
-    Returns the (BI,3) tile contribution f@xj - xi*rowsum(f) plus the
-    effective (hi+lo) position matrix used (for self-term correction)."""
+    Returns the (BI,3) tile contribution f@xj - xi*rowsum(f).  Callers
+    must zero the self-pair in f beforehand on diagonal tiles (its ~1e18
+    product would poison the fp32 row accumulation)."""
     fhi, flo = _bf16_split(f)
     hj, lj = _bf16_split(pos_j)
     ones = jnp.ones((block_j, 1), jnp.bfloat16)
