@@ -24,26 +24,51 @@ from typing import Optional
 import numpy as np
 
 
+class _TrackedStore(argparse.Action):
+    """``store`` that additionally records which options were explicitly
+    passed on the command line (``namespace._explicit``), so ``--resume``
+    can merge only user-set flags onto a checkpoint's saved config instead
+    of silently re-imposing argparse defaults (changing physics)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, self.dest, values)
+        if not hasattr(namespace, "_explicit"):
+            namespace._explicit = set()
+        namespace._explicit.add(self.dest)
+
+
+# CLI sim flags -> SimConfig fields (used for resume merging).
+_ARG_TO_CFG = {
+    "n": "n_bodies", "steps": "steps", "dt": "dt", "eps2": "eps2",
+    "impl": "impl", "integrator": "integrator", "seed": "seed",
+    "max_pos": "max_pos", "min_mass": "min_mass", "max_mass": "max_mass",
+    "block_i": "block_i", "block_j": "block_j", "chunk": "chunk",
+}
+
+
 def _add_sim_args(p: argparse.ArgumentParser):
-    p.add_argument("--n", type=int, default=8192,
+    p.add_argument("--n", type=int, default=8192, action=_TrackedStore,
                    help="number of bodies (reference N_BODIES=8192)")
-    p.add_argument("--steps", type=int, default=100)
-    p.add_argument("--dt", type=float, default=0.1)
-    p.add_argument("--eps2", type=float, default=0.002)
-    p.add_argument("--impl", default="auto",
+    p.add_argument("--steps", type=int, default=100, action=_TrackedStore)
+    p.add_argument("--dt", type=float, default=0.1, action=_TrackedStore)
+    p.add_argument("--eps2", type=float, default=0.002, action=_TrackedStore)
+    p.add_argument("--impl", default="auto", action=_TrackedStore,
                    choices=["auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
                             "pallas_fast", "pallas_turbo"],
                    help="force backend (reference kernel-type prompt)")
-    p.add_argument("--integrator", default="reference",
+    p.add_argument("--integrator", default="reference", action=_TrackedStore,
                    choices=["reference", "kdk"])
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0, action=_TrackedStore)
     p.add_argument("--init", default="uniform", choices=["uniform", "plummer"])
-    p.add_argument("--max-pos", type=float, default=100_000.0)
-    p.add_argument("--min-mass", type=float, default=100_000.0)
-    p.add_argument("--max-mass", type=float, default=1_000_000_000.0)
-    p.add_argument("--block-i", type=int, default=512)
-    p.add_argument("--block-j", type=int, default=2048)
-    p.add_argument("--chunk", type=int, default=1024)
+    p.add_argument("--max-pos", type=float, default=100_000.0,
+                   action=_TrackedStore)
+    p.add_argument("--min-mass", type=float, default=100_000.0,
+                   action=_TrackedStore)
+    p.add_argument("--max-mass", type=float, default=1_000_000_000.0,
+                   action=_TrackedStore)
+    p.add_argument("--block-i", type=int, default=512, action=_TrackedStore)
+    p.add_argument("--block-j", type=int, default=2048, action=_TrackedStore)
+    p.add_argument("--chunk", type=int, default=1024, action=_TrackedStore)
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
     p.add_argument("--comm", default="ring", choices=["ring", "allgather"])
@@ -69,7 +94,11 @@ def _make_sim(args, cfg, logger):
         from .parallel.mesh import make_mesh
         mesh = make_mesh(args.shards)
     if getattr(args, "resume", None):
-        sim = Simulation.resume(args.resume, cfg=cfg, logger=logger)
+        explicit = getattr(args, "_explicit", set())
+        overrides = {field: getattr(args, arg)
+                     for arg, field in _ARG_TO_CFG.items() if arg in explicit}
+        sim = Simulation.resume(args.resume, cfg=cfg, logger=logger,
+                                overrides=overrides)
         sim.mesh = mesh
         return sim
     state = (plummer_state(cfg) if args.init == "plummer"
@@ -93,7 +122,8 @@ def cmd_run(args) -> int:
             sim.state, cfg, args.steps, snap_every=max(1, args.snap_every),
             impl=sim.impl)
         save_trajectory(args.save_trajectory, np.asarray(snaps),
-                        max(1, args.snap_every), cfg)
+                        max(1, args.snap_every), cfg,
+                        mass=np.asarray(final.mass))
         if not args.quiet:
             print(f"saved {snaps.shape[0]} snapshots -> "
                   f"{args.save_trajectory}")
@@ -153,18 +183,29 @@ def cmd_validate(args) -> int:
     """
     from .config import SimConfig
     from .models.energy import energy_f64
-    from .models.init import init_state
+    from .models.init import init_state, plummer_state
     from .models.state import SimState
-    from .ops.step import run_steps
+    from .ops.step import prime_kdk, run_steps
     from .oracle.numpy_oracle import oracle_run, relative_mismatch
+    if args.shards:
+        print("validate runs single-device (the sharded path is validated "
+              "by tests/test_ring.py); drop --shards", file=sys.stderr)
+        return 2
     cfg = _make_cfg(args)
-    state = init_state(cfg)
+    state = plummer_state(cfg) if args.init == "plummer" else init_state(cfg)
+    if cfg.integrator == "kdk":
+        state = prime_kdk(state, cfg)
     pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
     mass = np.asarray(state.mass)
 
     dev = run_steps(state, cfg, args.steps)
     dtype = np.float32 if args.oracle_f32 else np.float64
-    if args.oracle == "native":
+    use_native = args.oracle == "native"
+    if use_native and cfg.integrator != "reference":
+        print("native oracle implements the reference integrator only; "
+              "using numpy oracle for --integrator kdk", file=sys.stderr)
+        use_native = False
+    if use_native:
         from .oracle.native import available, native_run
         if not available():
             print("native oracle unavailable (build native/ with make); "
@@ -176,7 +217,8 @@ def cmd_validate(args) -> int:
                                           cfg.dt, args.steps, dtype=dtype)
     else:
         opos, ovel, oacc = oracle_run(pos0, vel0, mass, cfg.eps2, cfg.dt,
-                                      args.steps, dtype=dtype)
+                                      args.steps, dtype=dtype,
+                                      integrator=cfg.integrator)
     ok = True
     for name, d, o, abs_tol in (
             ("pos", dev.pos, opos, args.abs_tol_pos),
@@ -272,18 +314,33 @@ def cmd_interactive(args) -> int:
     return main(run_args)
 
 
+def _load_trajectory(path: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Load (snapshots (T,N,3), mass (N,)) from a trajectory or checkpoint
+    NPZ.  Masses drive the reference's central visual semantic — the
+    mass->color lerp (simulation_visualization.cpp:46-56) — so they must be
+    the persisted per-body values, not fabricated uniforms."""
+    with np.load(path) as z:
+        if "snapshots" in z:
+            snaps = z["snapshots"]
+        else:  # checkpoint: single frame
+            snaps = z["pos"][None]
+        if "mass" in z:
+            mass = z["mass"]
+        else:
+            # Legacy trajectory without masses: colors degenerate to flat
+            # green (weight 0) — warn so users re-export with masses.
+            print("warning: trajectory has no 'mass' array; rendering with "
+                  "uniform minimum mass (flat green)", file=sys.stderr)
+            mass = np.full((snaps.shape[1],), 1e5, np.float32)
+    return snaps, mass
+
+
 def cmd_render(args) -> int:
     from .config import SimConfig
     from .viz.raster import render_frame
     from .viz.stream import FrameStreamer
     import jax.numpy as jnp
-    with np.load(args.trajectory) as z:
-        if "snapshots" in z:
-            snaps = z["snapshots"]
-        else:  # checkpoint: single frame
-            snaps = z["pos"][None]
-        mass = z["mass"] if "mass" in z else np.full(
-            (snaps.shape[1],), 1e5, np.float32)
+    snaps, mass = _load_trajectory(args.trajectory)
     cfg = SimConfig(n_bodies=snaps.shape[1])
     rendered = []
     with FrameStreamer(args.out_dir) as fs:

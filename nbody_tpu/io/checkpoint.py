@@ -69,11 +69,19 @@ def load_checkpoint(path: str, dtype=jnp.float32
 
 
 def save_trajectory(path: str, snapshots: np.ndarray,
-                    snap_every: int, cfg: Optional[SimConfig] = None) -> None:
+                    snap_every: int, cfg: Optional[SimConfig] = None,
+                    mass: Optional[np.ndarray] = None) -> None:
     """NPZ trajectory export (positions over time) — the persistent
-    replacement for the reference's render-only output."""
+    replacement for the reference's render-only output.
+
+    ``mass`` must be persisted for faithful rendering: the reference's
+    central visual semantic is the mass->color lerp
+    (simulation_visualization.cpp:46-56), which needs per-body masses at
+    render time."""
     payload = {"snapshots": np.asarray(snapshots),
                "snap_every": np.asarray(snap_every, dtype=np.int64)}
+    if mass is not None:
+        payload["mass"] = np.asarray(mass)
     if cfg is not None:
         payload["config_json"] = np.frombuffer(
             json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8)

@@ -63,12 +63,30 @@ class Simulation:
 
     @classmethod
     def resume(cls, path: str, cfg: Optional[SimConfig] = None,
-               logger: Optional[RunLogger] = None) -> "Simulation":
+               logger: Optional[RunLogger] = None,
+               overrides: Optional[dict] = None) -> "Simulation":
+        """Resume from a checkpoint.
+
+        When the checkpoint embeds a config and ``overrides`` is given
+        (the CLI passes only the flags the user explicitly set), the saved
+        config is the base and only those fields are overridden — resuming
+        without re-passing the original --dt/--eps2/--n keeps the original
+        physics.  ``n_bodies`` is always reconciled with the restored state
+        size (the GInter/s timer and shard padding depend on it)."""
         state, step_count, saved_cfg = load_checkpoint(path)
-        cfg = cfg or saved_cfg
+        if saved_cfg is not None and overrides is not None:
+            cfg = saved_cfg.replace(**overrides)
+        else:
+            cfg = cfg or saved_cfg
         if cfg is None:
             raise ValueError(
                 f"checkpoint {path} has no embedded config; pass cfg=")
+        if cfg.n_bodies != state.n:
+            import warnings
+            warnings.warn(
+                f"checkpoint {path} holds {state.n} bodies but config says "
+                f"n_bodies={cfg.n_bodies}; using the checkpoint's {state.n}")
+            cfg = cfg.replace(n_bodies=state.n)
         sim = cls(cfg, state=state, logger=logger)
         sim.step_count = step_count
         return sim

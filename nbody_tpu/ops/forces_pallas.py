@@ -422,8 +422,9 @@ def forces_pallas(pos: jax.Array, mass: jax.Array, eps2: float,
     n = pos.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n_pad = round_up(n, max(block_i, block_j))
-    block_i, block_j = _shrink_blocks(n_pad, n_pad, block_i, block_j)
+    # Shrink from the *unpadded* N (shrinking after padding can never fire,
+    # leaving small systems padded to the full default block size).
+    block_i, block_j = _shrink_blocks(n, n, block_i, block_j)
     n_pad = round_up(n, max(block_i, block_j))
     _validate_blocks(n_pad, block_i, block_j)
 

@@ -56,11 +56,25 @@ def oracle_step(pos: np.ndarray, vel: np.ndarray, mass: np.ndarray,
 
 
 def oracle_run(pos, vel, mass, eps2: float, dt: float, steps: int,
-               dtype=np.float64):
+               dtype=np.float64, integrator: str = "reference"):
     """Lock-step multi-step oracle run (the CPU side of compareHostToDevice,
-    validation.cpp:65-75)."""
+    validation.cpp:65-75).
+
+    ``integrator``: "reference" is the reference's fused half-kick + drift;
+    "kdk" mirrors ops.step's kick-drift-kick leapfrog (same scheme, CPU
+    twin) so KDK device runs can be differentially validated too."""
     pos = np.asarray(pos, dtype=dtype).copy()
     vel = np.asarray(vel, dtype=dtype).copy()
+    if integrator == "kdk":
+        acc = oracle_forces(pos, mass, eps2, dtype=dtype)
+        for _ in range(steps):
+            vel = vel + 0.5 * dt * acc          # half kick with a(x_n)
+            pos = pos + dt * vel                # drift
+            acc = oracle_forces(pos, mass, eps2, dtype=dtype)
+            vel = vel + 0.5 * dt * acc          # half kick with a(x_{n+1})
+        return pos, vel, acc
+    if integrator != "reference":
+        raise ValueError(f"unknown integrator {integrator!r}")
     acc = np.zeros_like(pos)
     for _ in range(steps):
         pos, vel, acc = oracle_step(pos, vel, mass, eps2, dt, dtype=dtype)

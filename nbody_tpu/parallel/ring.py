@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import SimConfig
-from ..models.integrators import reference_update
+from ..models.integrators import kdk_drift, kdk_kick, reference_update
 from ..models.state import SimState, pad_state_to, round_up, unpad_state
 from ..ops.forces_xla import rect_forces
 from .mesh import SHARD_AXIS
@@ -84,11 +84,25 @@ def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
                        n_steps: int, impl: str, comm: str, axis: str):
     force = ring_forces_local if comm == "ring" else allgather_forces_local
 
-    def one_step(_, carry):
-        pos, vel, acc = carry
-        new_acc = force(pos, mass_l, cfg, impl, axis)
-        new_pos, new_vel = reference_update(pos, vel, new_acc, cfg.dt)
-        return new_pos, new_vel, new_acc
+    if cfg.integrator == "kdk":
+        # Kick-drift-kick, same scheme as ops.step.step: the first half-kick
+        # uses the acceleration carried in state.acc (callers must prime it
+        # with a(x_0); Simulation.__init__ does via prime_kdk).
+        def one_step(_, carry):
+            pos, vel, acc = carry
+            vel_half = kdk_kick(vel, acc, cfg.dt)
+            pos = kdk_drift(pos, vel_half, cfg.dt)
+            new_acc = force(pos, mass_l, cfg, impl, axis)
+            new_vel = kdk_kick(vel_half, new_acc, cfg.dt)
+            return pos, new_vel, new_acc
+    elif cfg.integrator == "reference":
+        def one_step(_, carry):
+            pos, vel, acc = carry
+            new_acc = force(pos, mass_l, cfg, impl, axis)
+            new_pos, new_vel = reference_update(pos, vel, new_acc, cfg.dt)
+            return new_pos, new_vel, new_acc
+    else:
+        raise ValueError(f"unknown integrator {cfg.integrator!r}")
 
     pos, vel, acc = jax.lax.fori_loop(
         0, n_steps, one_step, (pos_l, vel_l, acc_l))

@@ -54,6 +54,52 @@ def test_validate_passes(capsys):
     assert "PASSED" in out
 
 
+def test_validate_kdk_and_plummer(capsys):
+    """validate must honor --integrator kdk (KDK oracle twin) and --init."""
+    rc = main(["validate", "--n", "128", "--steps", "20", "--impl", "xla_nxn",
+               "--integrator", "kdk", "--init", "plummer"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASSED" in out
+
+
+def test_validate_rejects_shards(capsys):
+    rc = main(["validate", "--n", "128", "--steps", "5", "--impl", "xla",
+               "--shards", "8"])
+    assert rc == 2
+
+
+def test_resume_keeps_saved_physics(tmp_path):
+    """Resuming without re-passing --dt/--eps2 must keep the checkpoint's
+    physics; explicitly-passed flags still override (ADVICE round 1)."""
+    from nbody_tpu.models.simulation import Simulation
+    ck = str(tmp_path / "ck.npz")
+    rc = main(["run", "--n", "96", "--steps", "4", "--impl", "xla_nxn",
+               "--dt", "0.025", "--eps2", "7.0", "--checkpoint", ck,
+               "--quiet"])
+    assert rc == 0
+    # No overrides: saved physics wins over argparse defaults.
+    sim = Simulation.resume(ck, overrides={})
+    assert sim.cfg.dt == 0.025 and sim.cfg.eps2 == 7.0
+    assert sim.cfg.n_bodies == 96 and sim.step_count == 4
+    # Explicit override merges onto the saved config.
+    sim = Simulation.resume(ck, overrides={"dt": 0.5})
+    assert sim.cfg.dt == 0.5 and sim.cfg.eps2 == 7.0
+    # n_bodies always reconciles with the restored state size.
+    with pytest.warns(UserWarning, match="bodies"):
+        sim = Simulation.resume(ck, overrides={"n_bodies": 4096})
+    assert sim.cfg.n_bodies == 96
+
+
+def test_cli_resume_merge_end_to_end(tmp_path, capsys):
+    ck = str(tmp_path / "ck.npz")
+    assert main(["run", "--n", "96", "--steps", "4", "--impl", "xla_nxn",
+                 "--dt", "0.025", "--checkpoint", ck, "--quiet"]) == 0
+    # Resume passing only --steps: must not silently reset dt to 0.1.
+    assert main(["run", "--steps", "2", "--impl", "xla_nxn",
+                 "--resume", ck, "--quiet"]) == 0
+
+
 def test_validate_oracle_f32(capsys):
     """Reference-exact comparison mode: fp32 oracle (CPU_compute precision)."""
     rc = main(["validate", "--n", "128", "--steps", "20", "--impl", "xla_nxn",
@@ -101,6 +147,31 @@ def test_run_save_trajectory_then_render(tmp_path, capsys):
     out_dir = str(tmp_path / "fr")
     assert main(["render", traj, "--out-dir", out_dir]) == 0
     assert len(os.listdir(out_dir)) == 3
+
+
+def test_trajectory_persists_mass_and_colors_vary(tmp_path):
+    """Regression: trajectories must carry per-body masses so renders keep
+    the reference's mass->color lerp (simulation_visualization.cpp:46-56)
+    instead of collapsing to flat green."""
+    import jax.numpy as jnp
+    from nbody_tpu.cli import _load_trajectory
+    from nbody_tpu.viz.raster import render_frame
+    traj = str(tmp_path / "t.npz")
+    rc = main(["run", "--n", "64", "--steps", "2", "--impl", "xla_nxn",
+               "--max-mass", "1e9", "--save-trajectory", traj, "--quiet"])
+    assert rc == 0
+    with np.load(traj) as z:
+        assert "mass" in z, "trajectory NPZ must persist masses"
+    snaps, mass = _load_trajectory(traj)
+    assert mass.shape == (64,)
+    assert mass.std() > 0  # real per-body masses, not a fabricated uniform
+    frame = np.asarray(render_frame(
+        jnp.asarray(snaps[0]), jnp.asarray(mass), 1e5, 1e9, 2e5,
+        width=200, height=150))
+    lit = frame[frame.sum(axis=-1) > 0]
+    # Color must vary with mass: red channel spread across lit pixels.
+    assert lit.shape[0] > 1
+    assert int(lit[:, 0].max()) - int(lit[:, 0].min()) > 50
 
 
 def test_run_sort_every(capsys):

@@ -95,10 +95,18 @@ def test_pallas_autoshrink_small_n():
     assert_matches_oracle(acc, ref, "acc(pallas-small)")
 
 
+def test_shrink_blocks_uses_unpadded_n():
+    """Regression (ADVICE round 1): shrinking must see the raw N, not the
+    already-padded one, so small systems don't pad to 2048 ghosts."""
+    from nbody_tpu.ops.forces_pallas import _shrink_blocks
+    assert _shrink_blocks(100, 100, 512, 2048) == (64, 128)
+    assert _shrink_blocks(8192, 8192, 512, 2048) == (512, 2048)
+
+
 def test_pallas_vmem_budget_guard():
     """The analog of the reference's shared-memory capacity check
     (kernel.cu:637-641): oversized blocks raise before launch."""
-    pos, _, mass = make_small_system(256, seed=14)
+    pos, _, mass = make_small_system(8192, seed=14)
     with pytest.raises(ValueError, match="VMEM"):
         forces_pallas(jnp.asarray(pos), jnp.asarray(mass), EPS2,
                       block_i=2048, block_j=8192)

@@ -57,6 +57,22 @@ def test_sharded_matches_oracle():
     assert_matches_oracle(np.asarray(out.vel), rvel, "vel(ring)", abs_tol=1e-2)
 
 
+def test_sharded_kdk_matches_oracle():
+    """run_steps_sharded must honor cfg.integrator (ADVICE round 1): a KDK
+    config runs KDK on the sharded path, matching the KDK oracle twin."""
+    from nbody_tpu.ops.step import prime_kdk
+    n, steps = 512, 15
+    state, pos, vel, mass = make_state(n, seed=22)
+    cfg = SimConfig(n_bodies=n, impl="xla", chunk=64, integrator="kdk")
+    state = prime_kdk(state, cfg, impl="xla")
+    mesh = make_mesh()
+    out = run_steps_sharded(state, cfg, mesh, steps, impl="xla", comm="ring")
+    rpos, rvel, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps,
+                               integrator="kdk")
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(kdk)", abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.vel), rvel, "vel(kdk)", abs_tol=1e-2)
+
+
 def test_sharded_with_padding():
     """N not divisible by P: ghosts carry the remainder."""
     n = 500  # pads to 512 on 8 devices with block multiples of 8
