@@ -31,9 +31,12 @@ def run_benchmark(n: int = 65536, steps: int = 20,
                   block_j: int = 2048, chunk: int = 1024,
                   shards: Optional[int] = None, comm: str = "ring",
                   energy: bool = False, warmup_steps: int = 3,
-                  seed: int = 0, trials: int = 2) -> dict:
+                  seed: int = 0, trials: int = 2,
+                  panel_nb: Optional[int] = None,
+                  block_u: int = 1024) -> dict:
     cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
-                    chunk=chunk, seed=seed)
+                    chunk=chunk, seed=seed, panel_nb=panel_nb,
+                    block_u=block_u)
     impl_resolved = resolve_impl(cfg)
     state = init_state(cfg)
 

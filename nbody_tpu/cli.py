@@ -42,8 +42,16 @@ _ARG_TO_CFG = {
     "n": "n_bodies", "steps": "steps", "dt": "dt", "eps2": "eps2",
     "impl": "impl", "integrator": "integrator", "seed": "seed",
     "max_pos": "max_pos", "min_mass": "min_mass", "max_mass": "max_mass",
-    "block_i": "block_i", "block_j": "block_j", "chunk": "chunk",
+    "block_i": "block_i", "block_j": "block_j", "block_u": "block_u",
+    "chunk": "chunk", "dtype": "dtype",
 }
+
+
+def _apply_dtype(args):
+    """float64 state needs jax x64 enabled before any array is created."""
+    if getattr(args, "dtype", "float32") == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
 
 
 def _add_sim_args(p: argparse.ArgumentParser):
@@ -54,7 +62,8 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--eps2", type=float, default=0.002, action=_TrackedStore)
     p.add_argument("--impl", default="auto", action=_TrackedStore,
                    choices=["auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
-                            "pallas_fast", "pallas_turbo"],
+                            "pallas_fast", "pallas_turbo", "pallas_sym",
+                            "pallas_sym_turbo"],
                    help="force backend (reference kernel-type prompt)")
     p.add_argument("--integrator", default="reference", action=_TrackedStore,
                    choices=["reference", "kdk"])
@@ -66,8 +75,14 @@ def _add_sim_args(p: argparse.ArgumentParser):
                    action=_TrackedStore)
     p.add_argument("--max-mass", type=float, default=1_000_000_000.0,
                    action=_TrackedStore)
+    p.add_argument("--dtype", default="float32", action=_TrackedStore,
+                   choices=["float32", "float64", "bfloat16"],
+                   help="state precision; float64 enables jax x64 "
+                        "(xla backends only), float32 matches the reference")
     p.add_argument("--block-i", type=int, default=512, action=_TrackedStore)
     p.add_argument("--block-j", type=int, default=2048, action=_TrackedStore)
+    p.add_argument("--block-u", type=int, default=1024, action=_TrackedStore,
+                   help="superblock width of the pair-symmetric kernels")
     p.add_argument("--chunk", type=int, default=1024, action=_TrackedStore)
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
@@ -76,11 +91,14 @@ def _add_sim_args(p: argparse.ArgumentParser):
 
 def _make_cfg(args):
     from .config import SimConfig
+    _apply_dtype(args)
     return SimConfig(
         n_bodies=args.n, steps=args.steps, dt=args.dt, eps2=args.eps2,
         impl=args.impl, integrator=args.integrator, seed=args.seed,
         max_pos=args.max_pos, min_mass=args.min_mass, max_mass=args.max_mass,
-        block_i=args.block_i, block_j=args.block_j, chunk=args.chunk,
+        block_i=args.block_i, block_j=args.block_j,
+        block_u=getattr(args, "block_u", 1024), chunk=args.chunk,
+        dtype=getattr(args, "dtype", "float32"),
         viz=getattr(args, "viz", False),
         viz_every=getattr(args, "viz_every", 1) or 1,
     )
@@ -130,9 +148,21 @@ def cmd_run(args) -> int:
         logger.close()
         return 0
     streamer = None
+    sinks = []
     if args.viz:
         from .viz.stream import FrameStreamer
-        streamer = FrameStreamer(args.viz_dir)
+        sinks.append(FrameStreamer(args.viz_dir))
+    if getattr(args, "viz_serve", None) is not None:
+        from .viz.server import LiveViewer
+        viewer = LiveViewer(port=args.viz_serve)
+        print(f"live view: http://127.0.0.1:{viewer.port}/ "
+              f"(PNG multipart stream at /stream)")
+        sinks.append(viewer)
+    if len(sinks) == 1:
+        streamer = sinks[0]
+    elif sinks:
+        from .viz.stream import TeeStreamer
+        streamer = TeeStreamer(*sinks)
     profile_ctx = None
     if args.profile:
         import jax
@@ -162,8 +192,10 @@ def cmd_run(args) -> int:
               f"{result.ginter_per_s:.1f} GInter/s"
               + (f", energy drift {result.energy_drift:.3e}"
                  if result.energy_drift is not None else ""))
-        if streamer is not None:
+        if streamer is not None and args.viz:
             print(f"{streamer.frames_written} frames -> {args.viz_dir}")
+        elif streamer is not None:
+            print(f"{streamer.frames_written} frames served")
     return 0
 
 
@@ -371,6 +403,10 @@ def build_parser() -> argparse.ArgumentParser:
                       help="stream PNG frames (replaces the GL window)")
     runp.add_argument("--viz-dir", default="frames")
     runp.add_argument("--viz-every", type=int, default=1)
+    runp.add_argument("--viz-serve", type=int, default=None, metavar="PORT",
+                      help="serve a live view over HTTP on this port "
+                           "(the reference's 'watch it evolve' window, "
+                           "main.cpp:118-133; 0 picks a free port)")
     runp.add_argument("--log-every", type=int, default=100)
     runp.add_argument("--log-jsonl", default=None)
     runp.add_argument("--log-csv", default=None)

@@ -33,7 +33,8 @@ DEFAULT_N_BODIES = 8192
 DEFAULT_MAX_VIEW = 200_000.0
 
 _VALID_IMPLS = ("auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
-                "pallas_fast", "pallas_turbo")
+                "pallas_fast", "pallas_turbo", "pallas_sym",
+                "pallas_sym_turbo")
 _VALID_INTEGRATORS = ("reference", "kdk")
 
 
@@ -82,6 +83,13 @@ class SimConfig:
 
     # Chunk size for the chunked-XLA force path.
     chunk: int = 1024
+
+    # Pair-symmetric (N3L) kernel tuning: superblock width (the j-extent of
+    # a tile AND the scatter-buffer granularity; 512x1024 measured fastest
+    # on v5e — scripts/r2_sym_tpu.py) and superblocks per panel (None =
+    # sized automatically from the VMEM resident-buffer budget).
+    block_u: int = 1024
+    panel_nb: Optional[int] = None
 
     # Visualization (reference simulation_visualization.h:8-9)
     viz: bool = False

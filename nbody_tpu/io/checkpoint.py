@@ -49,9 +49,12 @@ def save_checkpoint(path: str, state: SimState, step: int,
         raise
 
 
-def load_checkpoint(path: str, dtype=jnp.float32
+def load_checkpoint(path: str, dtype=None
                     ) -> Tuple[SimState, int, Optional[SimConfig]]:
-    """Load (state, step, config-or-None) from an NPZ checkpoint."""
+    """Load (state, step, config-or-None) from an NPZ checkpoint.
+
+    ``dtype=None`` keeps the checkpoint's stored precision (a float64 run
+    resumes in float64 when x64 is enabled); pass a dtype to convert."""
     with np.load(path) as z:
         state = SimState(
             pos=jnp.asarray(z["pos"], dtype=dtype),

@@ -118,11 +118,22 @@ class Simulation:
             f"dt={cfg.dt} eps2={cfg.eps2} "
             f"backend={jax.default_backend()} ==")
 
-        # Chunk size: log cadence, viz cadence, and checkpoint cadence all
-        # bound how long the device runs uninterrupted.
+        # Chunk size: log cadence and checkpoint cadence bound how long the
+        # device runs uninterrupted.  Frames do NOT bound the chunk: they
+        # render on device INSIDE the compiled chunk (run_trajectory_frames)
+        # and batch through the host link in one transfer — the per-frame
+        # round-trip was the 7 fps bottleneck through the relay.  Only
+        # cap the chunk so the frame batch stays within a memory budget.
+        batched_viz = (frame_streamer is not None and cfg.viz_every > 0
+                       and self.mesh is None)
         cadences = [log_every if log_every > 0 else n_steps]
         if frame_streamer is not None and cfg.viz_every > 0:
-            cadences.append(cfg.viz_every)
+            if batched_viz:
+                frame_bytes = cfg.viz_width * cfg.viz_height * 3
+                max_frames = max(1, (128 << 20) // frame_bytes)
+                cadences.append(cfg.viz_every * max_frames)
+            else:
+                cadences.append(cfg.viz_every)
         if checkpoint_every > 0:
             cadences.append(checkpoint_every)
         if sort_every > 0:
@@ -147,7 +158,15 @@ class Simulation:
             t0 = time.perf_counter() if first else 0.0
             if not first:
                 timer.start()
-            self._run_chunk(todo)
+            chunk_frames = None
+            if batched_viz:
+                from ..ops.step import run_trajectory_frames
+                self.state, frames = run_trajectory_frames(
+                    self.state, cfg, todo, frame_every=cfg.viz_every,
+                    impl=self.impl)
+                chunk_frames = np.asarray(frames)  # forces completion
+            else:
+                self._run_chunk(todo)
             sync(self.state.pos)
             if not first:
                 timer.stop(todo)
@@ -156,6 +175,11 @@ class Simulation:
             done += todo
             self.step_count += todo
 
+            if chunk_frames is not None:
+                for f in chunk_frames:
+                    frame_streamer.submit(frame_idx, f)
+                    frame_idx += 1
+
             if nan_watchdog:
                 probe = np.asarray(self.state.pos[:1])
                 if not np.all(np.isfinite(probe)):
@@ -163,8 +187,11 @@ class Simulation:
                         f"non-finite positions at step {self.step_count}; "
                         f"reduce dt or check initial conditions")
 
-            if frame_streamer is not None and cfg.viz_every > 0 and (
-                    done % cfg.viz_every == 0 or done == n_steps):
+            if (frame_streamer is not None and cfg.viz_every > 0
+                    and not batched_viz and (
+                        done % cfg.viz_every == 0 or done == n_steps)):
+                # Sharded path: render from the (gathered) state at chunk
+                # boundaries (the batched on-device path is single-chip).
                 from ..viz.raster import render_frame
                 frame = render_frame(
                     self.state.pos, self.state.mass, cfg.min_mass,

@@ -24,6 +24,9 @@ def resolve_impl(cfg: SimConfig) -> str:
     impl = cfg.impl
     if impl != "auto":
         return impl
+    if cfg.dtype != "float32":
+        # Pallas kernels are float32-only; the XLA paths follow input dtype.
+        return "xla_nxn" if cfg.n_bodies <= 4096 else "xla"
     on_tpu = jax.default_backend() == "tpu"
     if cfg.n_bodies <= 4096 and not on_tpu:
         return "xla_nxn"
@@ -44,11 +47,20 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
         return forces_nxn(pos, mass, cfg.eps2)
     if impl == "xla":
         return forces_chunked(pos, mass, cfg.eps2, chunk=cfg.chunk)
-    if impl in ("pallas", "pallas_mxu", "pallas_fast", "pallas_turbo"):
+    if impl in ("pallas", "pallas_mxu", "pallas_fast", "pallas_turbo",
+                "pallas_sym", "pallas_sym_turbo"):
         if pos.dtype != jnp.float32:
             raise ValueError(
                 f"pallas force kernels are float32-only (got {pos.dtype}); "
                 "use impl='xla' for float64/bfloat16 state")
+        if impl in ("pallas_sym", "pallas_sym_turbo"):
+            # Pair-symmetric kernels (each pair computed once, N3L);
+            # block_j doubles as the superblock width U.
+            from .forces_pallas_sym import forces_pallas_sym
+            return forces_pallas_sym(
+                pos, mass, cfg.eps2, block_i=cfg.block_i,
+                block_u=cfg.block_u, panel_nb=cfg.panel_nb,
+                variant="turbo" if impl.endswith("turbo") else "vpu")
         from .forces_pallas import forces_pallas
         variant = {"pallas": "vpu", "pallas_mxu": "mxu",
                    "pallas_fast": "fast", "pallas_turbo": "turbo"}[impl]

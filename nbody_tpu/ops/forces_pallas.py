@@ -168,14 +168,18 @@ def _force_kernel_vpu(pos_i_ref, posT_j_ref, mass_j_ref, acc_ref, *, eps2):
 
 
 def _force_kernel_turbo(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
-                        acc_ref, *, eps2, block_i, block_j):
+                        acc_ref, *, eps2, block_i, block_j, mask_self=True):
     """Speed tier: exact VPU distances + ONE bf16 accumulate matmul.
 
     The 6 accumulation flops/pair (f*dx + reductions) move to a single
     bf16 MXU pass ``bf16(f) @ [xj_hi | xj_lo | 1 | 0]``; bf16 rounding of f
     puts ~0.4% error on each pair force (p99 component error ~1-2% vs the
     oracle — the documented contract of this tier).  Fastest variant
-    measured on v5e (~1.25x the exact vpu kernel)."""
+    measured on v5e (~1.25x the exact vpu kernel).
+
+    ``mask_self=False`` (static) drops the self-pair mask entirely — valid
+    ONLY when the i and j body sets are disjoint (multi-chip ring rotations
+    past step 0), where index equality does not mean 'same body'."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -193,12 +197,13 @@ def _force_kernel_turbo(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
     d2 = dx * dx + dy * dy + dz * dz + eps2
     f = m * jax.lax.rsqrt(d2 * d2 * d2)    # (BI, BJ) f32
 
-    # Mask the self-pair before the matmul (see the mxu kernel note).
-    i0 = i * block_i
-    j0 = j * block_j
-    row = i0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 0)
-    col = j0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 1)
-    f = jnp.where(row == col, 0.0, f)
+    if mask_self:
+        # Mask the self-pair before the matmul (see the mxu kernel note).
+        i0 = i * block_i
+        j0 = j * block_j
+        row = i0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 0)
+        col = j0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 1)
+        f = jnp.where(row == col, 0.0, f)
 
     xj = pos_j_ref[:]
     hj, lj = _bf16_split(xj)
@@ -212,7 +217,8 @@ def _force_kernel_turbo(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
 
 
 def _force_kernel_mxu(pos_i_ref, posT_j_ref, pos_j_ref,
-                      mass_j_ref, acc_ref, *, eps2, block_i, block_j):
+                      mass_j_ref, acc_ref, *, eps2, block_i, block_j,
+                      mask_self=True):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -229,6 +235,12 @@ def _force_kernel_mxu(pos_i_ref, posT_j_ref, pos_j_ref,
     dz = xjT[2:3, :] - xi[:, 2:3]
     d2 = dx * dx + dy * dy + dz * dz + eps2
     f = m * jax.lax.rsqrt(d2 * d2 * d2)    # (BI, BJ) f32
+
+    if not mask_self:
+        # Disjoint body sets (ring rotations past step 0): no self-pair
+        # can exist, skip the mask machinery entirely.
+        acc_ref[:] += _mxu_accumulate(f, xi, pos_j_ref[:], block_j)
+        return
 
     # The self-pair factor f_ii = m_i * rsqrt(eps2^3) (~1e4*m_i) must be
     # zeroed BEFORE the matmul: its xj product (~1e18) would poison the
@@ -255,7 +267,8 @@ def _force_kernel_mxu(pos_i_ref, posT_j_ref, pos_j_ref,
 
 
 def _force_kernel_fast(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
-                       acc_ref, *, eps2, block_i, block_j, split_f):
+                       acc_ref, *, eps2, block_i, block_j, split_f,
+                       mask_self=True):
     """Throughput kernel: centered distances AND accumulation on the MXU.
 
     d2 via |u|^2 - 2 u.v + |v|^2 with u = xi - c_tile, v = xj - c_tile;
@@ -301,12 +314,13 @@ def _force_kernel_fast(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
     d2 = jnp.maximum(d2, eps2)
     f = mass_j_ref[:] * jax.lax.rsqrt(d2 * d2 * d2)
 
-    # Zero the self-pair before the accumulate matmul (see mxu kernel note).
-    i0 = i * block_i
-    j0 = j * block_j
-    row = i0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 0)
-    col = j0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 1)
-    f = jnp.where(row == col, 0.0, f)
+    if mask_self:
+        # Zero the self-pair before the accumulate matmul (mxu kernel note).
+        i0 = i * block_i
+        j0 = j * block_j
+        row = i0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 0)
+        col = j0 + jax.lax.broadcasted_iota(jnp.int32, (block_i, block_j), 1)
+        f = jnp.where(row == col, 0.0, f)
 
     hj, lj = _bf16_split(xj)
     xj8 = jnp.concatenate(
@@ -327,9 +341,10 @@ def _force_kernel_fast(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("eps2", "block_i", "block_j", "variant",
-                              "interpret"))
+                              "interpret", "mask_self"))
 def _forces_pallas_padded(pos_i, posT, pos_j, mass_row,
-                          eps2, block_i, block_j, variant, interpret):
+                          eps2, block_i, block_j, variant, interpret,
+                          mask_self=True):
     """Tiled sweep of the (Ni x Nj) interaction block.  ``pos_i``/``mass_col``
     are the i-side (Ni,3)/(Ni,1); ``posT``/``pos_j``/``mass_row``/``cent``
     are the j-side (3,Nj)/(Nj,3)/(1,Nj)/(Nj/BJ,3).  Square self-interaction
@@ -356,18 +371,20 @@ def _forces_pallas_padded(pos_i, posT, pos_j, mass_row,
         operands = (pos_i, posT, mass_row)
     elif variant == "mxu":
         kernel = functools.partial(
-            _force_kernel_mxu, eps2=eps2, block_i=block_i, block_j=block_j)
+            _force_kernel_mxu, eps2=eps2, block_i=block_i, block_j=block_j,
+            mask_self=mask_self)
         in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
         operands = (pos_i, posT, pos_j, mass_row)
     elif variant == "fast":
         kernel = functools.partial(
             _force_kernel_fast, eps2=eps2, block_i=block_i, block_j=block_j,
-            split_f=True)
+            split_f=True, mask_self=mask_self)
         in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
         operands = (pos_i, posT, pos_j, mass_row)
     elif variant == "turbo":
         kernel = functools.partial(
-            _force_kernel_turbo, eps2=eps2, block_i=block_i, block_j=block_j)
+            _force_kernel_turbo, eps2=eps2, block_i=block_i, block_j=block_j,
+            mask_self=mask_self)
         in_specs = [spec_pos_i, spec_posT_j, spec_pos_j, spec_mass_j]
         operands = (pos_i, posT, pos_j, mass_row)
     else:
@@ -441,23 +458,33 @@ def forces_pallas(pos: jax.Array, mass: jax.Array, eps2: float,
 def rect_forces_pallas(pos_i: jax.Array, pos_j: jax.Array, mass_j: jax.Array,
                        eps2: float, block_i: int = 256, block_j: int = 1024,
                        variant: str = "vpu",
-                       interpret: "bool | None" = None) -> jax.Array:
+                       interpret: "bool | None" = None,
+                       self_tile: bool = False) -> jax.Array:
     """Forces of body set j on body set i via the tiled kernel.
 
-    Only the ``vpu`` variant is valid here: it needs no self-pair mask
-    (r=0 pairs vanish naturally on the ring's diagonal step, where the same
-    arrays are passed), whereas the mxu/fast/turbo variants mask by global
-    index equality, which is meaningless between two *different* body sets
-    (a rotated ring tile) and would zero legitimate pairs.
+    ``self_tile`` declares whether i and j are the SAME body set (the
+    ring's rotation step 0, where local index equality means 'same body'):
+
+    - ``vpu`` needs no mask either way — r=0 self-pairs vanish under
+      softening (kernel.cu:17-27).
+    - ``mxu``/``fast``/``turbo`` mask the self-pair by index equality when
+      ``self_tile=True`` (it would poison the MXU accumulation, see
+      docs/PERF.md) and skip the mask entirely when the body sets are
+      disjoint (rotations past step 0) — index equality between different
+      shards does not mean 'same body', and masking there would zero
+      legitimate pairs.
 
     Shapes must already be block multiples (the ring path pads shards once,
     up front).  (Ni,3),(Nj,3),(Nj,) -> (Ni,3).
     """
-    if variant != "vpu":
-        raise ValueError(
-            "rect_forces_pallas supports only variant='vpu': index-equality "
-            "self-pair masks are invalid across distinct body sets")
+    if variant not in VARIANTS:
+        raise ValueError(f"variant must be one of {VARIANTS}, got {variant!r}")
     ni, nj = pos_i.shape[0], pos_j.shape[0]
+    if variant != "vpu" and self_tile and nj < ni:
+        raise ValueError(
+            "self_tile=True requires the j set to contain the i set as a "
+            f"prefix (got Ni={ni} > Nj={nj}): index equality must mean "
+            "'same body'")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     block_i, block_j = _shrink_blocks(ni, nj, block_i, block_j)
@@ -469,4 +496,5 @@ def rect_forces_pallas(pos_i: jax.Array, pos_j: jax.Array, mass_j: jax.Array,
     posT, mass_row = _prep_j_side(pos_j, mass_j)
     return _forces_pallas_padded(
         pos_i, posT, pos_j, mass_row,
-        float(eps2), block_i, block_j, variant, interpret)
+        float(eps2), block_i, block_j, variant, interpret,
+        mask_self=self_tile)

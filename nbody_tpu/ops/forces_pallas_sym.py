@@ -1,0 +1,502 @@
+"""Newton's-third-law symmetric Pallas force kernels — each unordered pair
+is computed ONCE and contributes to both bodies' accelerations.
+
+Neither the reference's tiled kernel (``kernel.cu:99-114``) nor its
+reduction family exploits pair antisymmetry: both sweep the full NxN
+interaction matrix, computing every pair twice.  This module is the
+TPU-first halving of that work (round-2 headline, VERDICT.md task 1):
+
+- Bodies are grouped into *superblocks* of ``U``; the superblock count
+  ``nb`` is padded to an ODD number so the circular-offset sweep
+  ``j = (i + d) mod nb`` for ``d = 1 .. (nb-1)/2`` visits every unordered
+  off-diagonal superblock pair exactly once — no duplicate-pair guards, no
+  idle grid steps (an even nb would double-count the antipodal offset).
+- For each (i-block, j-superblock) tile the shared per-pair factor
+  ``inv = rsqrt((|r|^2 + eps2)^3)`` is computed once; the i-side
+  accumulates ``+ m_j * inv * r`` (force on i from j) and the j-side
+  ``- m_i * inv * r`` (force on j from i; masses differ, the *geometry* is
+  shared).  ~26 VPU flops per pair delivering TWO interactions, vs ~19
+  flops per single interaction in the one-sided kernel.
+- The i-side accumulator is a standard blocked output (revisited
+  consecutively across the ``d`` sweep).  The j-side ("scatter") output is
+  the hard part on TPU — its visits are non-consecutive — so it lives
+  VMEM-RESIDENT for the whole kernel as a ``(nb, 3, U)`` buffer (constant
+  index map) accumulated at dynamic superblock offsets.  The transposed
+  (3, U) orientation keeps the physical footprint at 32 B/body (the
+  sublane dim pads 3->8) instead of the catastrophic 512 B/body a lane-dim
+  of 3 would cost, and matches the natural (1, U) shape of cross-sublane
+  reductions — no in-kernel transposes anywhere.
+- VMEM caps the resident buffer, so large N decomposes into *panels* at
+  the JAX level: a triangular kernel per panel, a rectangular two-output
+  kernel per unordered panel pair, and a tiny one-sided kernel for the
+  diagonal superblocks (keeping self-pair handling out of the hot kernel;
+  self-pairs vanish via r=0 under softening exactly as in the reference,
+  ``kernel.cu:17-27``).
+
+Variants mirror the one-sided ladder (forces_pallas.py): ``vpu`` (exact
+tier — same force law, fp32 throughout, summation order differs only in
+grouping) and ``turbo`` (both accumulations on the MXU as single bf16
+matmuls; same documented loose contract as one-sided turbo).
+
+All operand streams are plain ``pos (N,3)`` / ``posT (3,N)`` /
+``mass (1,N)/(N,1)`` slices — everything derived is computed in-kernel
+(required by the platform operand-ingestion bug documented in
+docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.state import round_up
+
+# Per-core VMEM is ~16 MB; the resident scatter buffer plus the fused
+# elementwise working set must stay below it (the analog of the
+# reference's sharedMemPerBlock check, kernel.cu:637-641).
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+SYM_VARIANTS = ("vpu", "turbo")
+
+
+def _pair_terms(xi, xjT, mass_row_j, mass_col_i, eps2):
+    """Shared per-tile geometry: returns (dx, dy, dz, fi, fj) where
+    fi = m_j * inv (weights the force ON i) and fj = m_i * inv (weights
+    the force ON j).  Force law contract: d2 = |r|^2 + eps2;
+    inv = rsqrt(d2^3) (kernel.cu:9-29, no G, no i!=j guard)."""
+    dx = xjT[0:1, :] - xi[:, 0:1]          # (BI, U)
+    dy = xjT[1:2, :] - xi[:, 1:2]
+    dz = xjT[2:3, :] - xi[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz + eps2
+    inv = jax.lax.rsqrt(d2 * d2 * d2)      # (BI, U)
+    fi = mass_row_j * inv                  # (BI, U): m_j weights acc_i
+    fj = mass_col_i * inv                  # (BI, U): m_i weights acc_j
+    return dx, dy, dz, fi, fj
+
+
+def _accum_i_vpu(dx, dy, dz, fi):
+    """(BI,3) i-side tile contribution: rows sum over the j (lane) axis."""
+    ax = jnp.sum(fi * dx, axis=1, keepdims=True)
+    ay = jnp.sum(fi * dy, axis=1, keepdims=True)
+    az = jnp.sum(fi * dz, axis=1, keepdims=True)
+    return jnp.concatenate([ax, ay, az], axis=1)
+
+
+def _accum_j_vpu(dx, dy, dz, fj):
+    """(3,U) j-side tile contribution (positive magnitude; caller negates):
+    columns sum over the i (sublane) axis."""
+    sx = jnp.sum(fj * dx, axis=0, keepdims=True)
+    sy = jnp.sum(fj * dy, axis=0, keepdims=True)
+    sz = jnp.sum(fj * dz, axis=0, keepdims=True)
+    return jnp.concatenate([sx, sy, sz], axis=0)
+
+
+def _bf16_split(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _pack8(x, n_rows):
+    """[x_hi | x_lo | 1 | 0] bf16 packing for the accumulate matmul
+    (positions at domain scale need hi/lo splits; see docs/PERF.md)."""
+    hi, lo = _bf16_split(x)
+    return jnp.concatenate(
+        [hi, lo, jnp.ones((n_rows, 1), jnp.bfloat16),
+         jnp.zeros((n_rows, 1), jnp.bfloat16)], axis=1)
+
+
+def _accum_i_turbo(fi, xi, pos_j, block_u):
+    """i-side accumulate on the MXU: bf16(fi) @ [xj_hi|xj_lo|1|0]."""
+    xj8 = _pack8(pos_j, block_u)                           # (U, 8) bf16
+    out = jax.lax.dot_general(
+        fi.astype(jnp.bfloat16), xj8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (BI, 8)
+    return (out[:, 0:3] + out[:, 3:6]) - xi * out[:, 6:7]
+
+
+def _accum_j_turbo(fj, xi, xjT, block_i):
+    """j-side accumulate on the MXU, produced directly in (3,U) orientation:
+    contract the i (sublane) axis of both operands — xi8^T @ fj — so the
+    result needs no in-kernel transpose.  Returns the (3,U) contribution
+    sum_i fj*(xi - xj) = sum_i fj*xi - xj*sum_i fj (add to acc_j)."""
+    xi8 = _pack8(xi, block_i)                              # (BI, 8) bf16
+    out8 = jax.lax.dot_general(
+        xi8, fj.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (8, U)
+    return (out8[0:3, :] + out8[3:6, :]) - xjT * out8[6:7, :]
+
+
+# --------------------------------------------------------------------------
+# Kernel bodies
+# --------------------------------------------------------------------------
+
+def _diag_kernel_vpu(pos_i_ref, posT_ref, mass_row_ref, acc_ref, *, eps2):
+    """One-sided sweep of a diagonal superblock (i-block x own superblock).
+    Each grid step is visited once: write, no accumulation.  Self-pairs
+    vanish via r=0 under softening (kernel.cu:17-27), exactly like the
+    one-sided production kernel — no masks."""
+    xi = pos_i_ref[:]
+    xjT = posT_ref[:]
+    m = mass_row_ref[:]
+    dx = xjT[0:1, :] - xi[:, 0:1]
+    dy = xjT[1:2, :] - xi[:, 1:2]
+    dz = xjT[2:3, :] - xi[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz + eps2
+    fi = m * jax.lax.rsqrt(d2 * d2 * d2)
+    acc_ref[:] = _accum_i_vpu(dx, dy, dz, fi)
+
+
+def _scatter_add(acc_jT_ref, j_sb, contrib):
+    """acc_jT[j_sb] += contrib (3,U), via explicit dynamic slicing (the
+    scatter buffer is VMEM-resident; grid steps are sequential on TPU, so
+    read-modify-write at a dynamic superblock offset is race-free)."""
+    sl = (pl.ds(j_sb, 1), slice(None), slice(None))
+    acc_jT_ref[sl] = acc_jT_ref[sl] + contrib[None]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
+    """Triangular (within-panel) kernel body.  Grid (I, si, dd):
+    I = i-superblock, si = i-sub-block within it, dd = circular offset - 1;
+    j-superblock = (I + 1 + dd) mod nb.  (lru_cache so every panel's
+    pallas_call traces the SAME kernel object -> one Mosaic compilation.)"""
+
+    def body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, pos_j_ref,
+             acc_i_ref, acc_jT_ref):
+        i_sb = pl.program_id(0)
+        dd = pl.program_id(2)
+        first = jnp.logical_and(
+            jnp.logical_and(i_sb == 0, pl.program_id(1) == 0), dd == 0)
+
+        @pl.when(first)
+        def _():
+            acc_jT_ref[...] = jnp.zeros_like(acc_jT_ref)
+
+        @pl.when(dd == 0)
+        def _():
+            acc_i_ref[:] = jnp.zeros_like(acc_i_ref)
+
+        xi = pos_i_ref[:]                   # (BI, 3)
+        xjT = posT_ref[:]                   # (3, U)
+        dx, dy, dz, fi, fj = _pair_terms(
+            xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+        j_sb = jax.lax.rem(i_sb + 1 + dd, nb)
+        if variant == "vpu":
+            acc_i_ref[:] += _accum_i_vpu(dx, dy, dz, fi)
+            _scatter_add(acc_jT_ref, j_sb, -_accum_j_vpu(dx, dy, dz, fj))
+        else:  # turbo
+            acc_i_ref[:] += _accum_i_turbo(fi, xi, pos_j_ref[:], block_u)
+            _scatter_add(acc_jT_ref, j_sb, _accum_j_turbo(fj, xi, xjT,
+                                                          block_i))
+
+    if variant == "vpu":
+        def kernel(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref,
+                   acc_i_ref, acc_jT_ref):
+            body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, None,
+                 acc_i_ref, acc_jT_ref)
+        return kernel
+    return body
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rect_kernel(variant, eps2, block_i, block_u):
+    """Cross-panel kernel body: all (i in panel A) x (j in panel B) tiles,
+    each once, two-sided.  Grid (ia, jb): acc_a blocked (accumulates across
+    jb), acc_bT resident."""
+
+    def body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref, pos_b_ref,
+             acc_a_ref, acc_bT_ref):
+        ia = pl.program_id(0)
+        jb = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(ia == 0, jb == 0))
+        def _():
+            acc_bT_ref[...] = jnp.zeros_like(acc_bT_ref)
+
+        @pl.when(jb == 0)
+        def _():
+            acc_a_ref[:] = jnp.zeros_like(acc_a_ref)
+
+        xi = pos_a_ref[:]
+        xjT = posT_b_ref[:]
+        dx, dy, dz, fi, fj = _pair_terms(
+            xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+        if variant == "vpu":
+            acc_a_ref[:] += _accum_i_vpu(dx, dy, dz, fi)
+            _scatter_add(acc_bT_ref, jb, -_accum_j_vpu(dx, dy, dz, fj))
+        else:  # turbo
+            acc_a_ref[:] += _accum_i_turbo(fi, xi, pos_b_ref[:], block_u)
+            _scatter_add(acc_bT_ref, jb, _accum_j_turbo(fj, xi, xjT,
+                                                        block_i))
+
+    if variant == "vpu":
+        def kernel(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref,
+                   acc_a_ref, acc_bT_ref):
+            body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref, None,
+                 acc_a_ref, acc_bT_ref)
+        return kernel
+    return body
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers (one panel / one panel pair)
+# --------------------------------------------------------------------------
+
+def _diag_call(pos_p, posT_p, mass_row_p, *, eps2, nb, block_i, block_u,
+               interpret):
+    sub = block_u // block_i
+    grid = (nb, sub)
+    return pl.pallas_call(
+        functools.partial(_diag_kernel_vpu, eps2=eps2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_i, 3), lambda I, si: (I * sub + si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_u), lambda I, si: (0, I),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_u), lambda I, si: (0, I),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_i, 3), lambda I, si: (I * sub + si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * block_u, 3), pos_p.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * nb * block_u * block_u,
+            bytes_accessed=nb * block_u * 4 * 7,
+            transcendentals=nb * block_u * block_u),
+        interpret=interpret,
+    )(pos_p, posT_p, mass_row_p)
+
+
+def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
+              block_i, block_u, variant, interpret):
+    sub = block_u // block_i
+    du = (nb - 1) // 2
+    grid = (nb, sub, du)
+    kernel = _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u)
+    m = nb * block_u
+    in_specs = [
+        pl.BlockSpec((block_i, 3),
+                     lambda I, si, dd: (I * sub + si, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_i, 1),
+                     lambda I, si, dd: (I * sub + si, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, block_u),
+                     lambda I, si, dd, _nb=nb: (0, (I + 1 + dd) % _nb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_u),
+                     lambda I, si, dd, _nb=nb: (0, (I + 1 + dd) % _nb),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [pos_p, mass_col_p, posT_p, mass_row_p]
+    if variant != "vpu":
+        in_specs.append(
+            pl.BlockSpec((block_u, 3),
+                         lambda I, si, dd, _nb=nb: ((I + 1 + dd) % _nb, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(pos_p)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block_i, 3),
+                         lambda I, si, dd: (I * sub + si, 0),
+                         memory_space=pltpu.VMEM),
+            # Scatter buffer: resident in VMEM for the whole kernel.
+            pl.BlockSpec((nb, 3, block_u), lambda I, si, dd: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, 3), pos_p.dtype),
+            jax.ShapeDtypeStruct((nb, 3, block_u), pos_p.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=26 * m * du * block_u,
+            bytes_accessed=m * 4 * 16,
+            transcendentals=m * du * block_u),
+        interpret=interpret,
+    )(*operands)
+
+
+def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, *, eps2,
+               nb_b, block_i, block_u, variant, interpret):
+    ma = pos_a.shape[0]
+    grid = (ma // block_i, nb_b)
+    kernel = _make_rect_kernel(variant, eps2, block_i, block_u)
+    in_specs = [
+        pl.BlockSpec((block_i, 3), lambda ia, jb: (ia, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_i, 1), lambda ia, jb: (ia, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, block_u), lambda ia, jb: (0, jb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_u), lambda ia, jb: (0, jb),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [pos_a, mass_col_a, posT_b, mass_row_b]
+    if variant != "vpu":
+        in_specs.append(
+            pl.BlockSpec((block_u, 3), lambda ia, jb: (jb, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(pos_b)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block_i, 3), lambda ia, jb: (ia, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_b, 3, block_u), lambda ia, jb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ma, 3), pos_a.dtype),
+            jax.ShapeDtypeStruct((nb_b, 3, block_u), pos_a.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=26 * ma * nb_b * block_u,
+            bytes_accessed=(ma + nb_b * block_u) * 4 * 8,
+            transcendentals=ma * nb_b * block_u),
+        interpret=interpret,
+    )(*operands)
+
+
+def _unscatter(acc_jT):
+    """(nb, 3, U) resident-buffer layout -> (nb*U, 3)."""
+    return acc_jT.transpose(0, 2, 1).reshape(-1, 3)
+
+
+# --------------------------------------------------------------------------
+# Public entry
+# --------------------------------------------------------------------------
+
+def _panel_layout(n, block_u, max_nb):
+    """Choose (nb_per_panel, n_panels): nb ODD (the circular sweep's
+    no-duplicate condition), panels equal-sized and BALANCED, total >= n.
+
+    Balancing matters: filling panels to the cap rounds the panel count up
+    and pads the remainder with ghosts whose pair work is O(n_pad^2) — at
+    N=1M a cap-filled layout wasted 24% of the bodies (1.55x the pair
+    work).  Spreading the blocks evenly keeps padding under ~1%."""
+    nb_needed = -(-n // block_u)
+    if nb_needed <= max_nb:
+        nb = nb_needed if nb_needed % 2 == 1 else nb_needed + 1
+        return nb, 1
+    cap = max_nb if max_nb % 2 == 1 else max_nb - 1
+    panels = -(-nb_needed // cap)
+    nb = -(-nb_needed // panels)
+    if nb % 2 == 0:
+        nb += 1
+    return nb, panels
+
+
+def _validate_sym_blocks(block_i, block_u, nb):
+    if block_i % 8 != 0:
+        raise ValueError(f"block_i must be a multiple of 8, got {block_i}")
+    if block_u % 128 != 0:
+        raise ValueError(f"block_u must be a multiple of 128, got {block_u}")
+    if block_u % block_i != 0:
+        raise ValueError(
+            f"block_u={block_u} must be a multiple of block_i={block_i}")
+    # Working set: fused elementwise chain holds ~4 live (BI,U) f32
+    # temporaries (dx/dy/dz live across both accumulations) + the resident
+    # scatter buffer at 32 B/body + streamed blocks (double-buffered).
+    # (Estimate; Mosaic is the final arbiter and raises on real overflow.)
+    live = 4 * block_i * block_u * 4
+    resident = nb * 8 * block_u * 4
+    # Streams, double-buffered, at physical (lane-padded) sizes: i-side
+    # pos (BI,3)->(BI,128) and mass (BI,1)->(BI,128); j-side posT
+    # (3,U)->(8,U) and mass_row (1,U)->(8,U).
+    streams = 2 * (2 * block_i * 128 + 2 * 8 * block_u) * 4
+    total = live + resident + streams
+    if total > _VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"sym kernel working set ~{total / 1e6:.1f} MB exceeds VMEM "
+            f"budget {_VMEM_BUDGET_BYTES / 1e6:.1f} MB "
+            f"(block_i={block_i}, block_u={block_u}, panel_nb={nb}); "
+            f"shrink blocks or panel size")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps2", "block_i", "block_u", "panel_nb",
+                              "variant", "interpret"))
+def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
+                       variant, interpret):
+    n_pad = pos_p.shape[0]
+    m = panel_nb * block_u
+    panels = n_pad // m
+    mass_row = mass_p[None, :]
+    mass_col = mass_p[:, None]
+    posT = pos_p.T
+
+    pa = [pos_p[a * m:(a + 1) * m] for a in range(panels)]
+    paT = [posT[:, a * m:(a + 1) * m] for a in range(panels)]
+    mra = [mass_row[:, a * m:(a + 1) * m] for a in range(panels)]
+    mca = [mass_col[a * m:(a + 1) * m] for a in range(panels)]
+
+    acc = [None] * panels
+    for a in range(panels):
+        part = _diag_call(pa[a], paT[a], mra[a], eps2=eps2, nb=panel_nb,
+                          block_i=block_i, block_u=block_u,
+                          interpret=interpret)
+        if panel_nb >= 3:
+            acc_i, acc_jT = _sym_call(
+                pa[a], mca[a], paT[a], mra[a], eps2=eps2, nb=panel_nb,
+                block_i=block_i, block_u=block_u, variant=variant,
+                interpret=interpret)
+            part = part + acc_i + _unscatter(acc_jT)
+        acc[a] = part
+    for a in range(panels):
+        for b in range(a + 1, panels):
+            acc_a, acc_bT = _rect_call(
+                pa[a], mca[a], paT[b], mra[b], pa[b], eps2=eps2,
+                nb_b=panel_nb, block_i=block_i, block_u=block_u,
+                variant=variant, interpret=interpret)
+            acc[a] = acc[a] + acc_a
+            acc[b] = acc[b] + _unscatter(acc_bT)
+    return jnp.concatenate(acc, axis=0)
+
+
+def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
+                      block_i: int = 512, block_u: int = 1024,
+                      panel_nb: "int | None" = None,
+                      variant: str = "vpu",
+                      interpret: "bool | None" = None) -> jax.Array:
+    """Softened all-pairs accelerations, each pair computed once (N3L).
+
+    pos: (N,3) f32; mass: (N,) f32.  N pads with zero-mass ghosts to
+    panels x panel_nb x block_u; ghosts are inert on BOTH sides (m_j = 0
+    kills their pull, m_i = 0 kills their scatter contribution), so no
+    masks are needed anywhere.
+    """
+    if variant not in SYM_VARIANTS:
+        raise ValueError(
+            f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
+    n = pos.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if panel_nb is None:
+        # Default resident-buffer cap: nb * 32B/body * U <= ~4 MB.
+        panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
+    nb, panels = _panel_layout(n, block_u, panel_nb)
+    _validate_sym_blocks(block_i, block_u, nb)
+    n_pad = panels * nb * block_u
+    pad = n_pad - n
+    pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
+    mass_p = jnp.pad(mass, (0, pad))
+    acc = _forces_sym_padded(pos_p, mass_p, float(eps2), block_i, block_u,
+                             nb, variant, interpret)
+    return acc[:n]

@@ -31,13 +31,32 @@ from ..ops.forces_xla import rect_forces
 from .mesh import SHARD_AXIS
 
 
-def _local_rect_forces(pos_i, pos_j, mass_j, cfg: SimConfig, impl: str):
-    """Per-chip (i-shard x j-tile) force block."""
-    if impl == "pallas":
+# impl -> one-sided rect kernel variant.  The pair-symmetric impls map to
+# their one-sided accuracy twins here: N3L across the ring would need the
+# j-side force contributions shipped BACK around the ring (doubling comm);
+# the local rect sweep stays one-sided, same physics and accuracy tier.
+_RECT_VARIANTS = {"pallas": "vpu", "pallas_sym": "vpu",
+                  "pallas_mxu": "mxu", "pallas_fast": "fast",
+                  "pallas_turbo": "turbo", "pallas_sym_turbo": "turbo"}
+
+
+def _local_rect_forces(pos_i, pos_j, mass_j, cfg: SimConfig, impl: str,
+                       self_tile: bool = False):
+    """Per-chip (i-shard x j-tile) force block.
+
+    ``self_tile`` marks the rotation where the j tile IS the chip's own
+    shard (local index equality = same body): the masked mxu/fast/turbo
+    variants apply their self-pair mask only there, and skip it entirely
+    on disjoint rotations (masking would zero legitimate pairs)."""
+    if impl.startswith("pallas"):
         from ..ops.forces_pallas import rect_forces_pallas
+        variant = _RECT_VARIANTS.get(impl)
+        if variant is None:
+            raise ValueError(f"unsupported sharded pallas impl {impl!r}")
         return rect_forces_pallas(
             pos_i, pos_j, mass_j, cfg.eps2,
-            block_i=cfg.block_i, block_j=cfg.block_j)
+            block_i=cfg.block_i, block_j=cfg.block_j,
+            variant=variant, self_tile=self_tile)
     return rect_forces(pos_i, pos_j, mass_j, cfg.eps2, chunk=cfg.chunk)
 
 
@@ -50,34 +69,52 @@ def _resolve_local_impl(impl: Optional[str]) -> str:
 def ring_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
                       axis: str = SHARD_AXIS):
     """Ring sweep, written per-shard (call inside shard_map): accumulate
-    forces from P rotating j-tiles."""
+    forces from P rotating j-tiles.
+
+    Rotation step 0 (the chip's own shard) is peeled out of the loop so it
+    compiles as a separate ``self_tile=True`` kernel instance — the masked
+    variants mask self-pairs there and run entirely unmasked on the P-1
+    disjoint rotations (no in-kernel branching anywhere)."""
     p = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % p) for i in range(p)]
 
+    acc0 = _local_rect_forces(pos_l, pos_l, mass_l, cfg, impl,
+                              self_tile=True)
+
     def body(step, carry):
         acc, pos_j, mass_j = carry
-        acc = acc + _local_rect_forces(pos_l, pos_j, mass_j, cfg, impl)
-        # Rotate the j-tile to the next chip. The final rotation returns
-        # the tiles to their owners, so the carry is restored — and XLA can
-        # overlap the permute of tile t+1 with nothing ahead of it; the
-        # compute/comm overlap across iterations comes from XLA's async
-        # collective-permute scheduling.
+        # Rotate the j-tile to the next chip, then sweep it.  XLA's async
+        # collective-permute scheduling provides the compute/comm overlap
+        # across iterations.
         pos_j = jax.lax.ppermute(pos_j, axis, perm)
         mass_j = jax.lax.ppermute(mass_j, axis, perm)
+        acc = acc + _local_rect_forces(pos_l, pos_j, mass_j, cfg, impl,
+                                       self_tile=False)
         return acc, pos_j, mass_j
 
-    acc0 = jnp.zeros_like(pos_l)
-    acc, _, _ = jax.lax.fori_loop(0, p, body, (acc0, pos_l, mass_l))
+    acc, _, _ = jax.lax.fori_loop(0, p - 1, body, (acc0, pos_l, mass_l))
     return acc
 
 
 def allgather_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
                            axis: str = SHARD_AXIS):
     """Ulysses-style alternative: all-gather the full j-side once, then one
-    local rectangular sweep.  O(N) memory per chip — for small/medium N."""
+    local rectangular sweep.  O(N) memory per chip — for small/medium N.
+
+    For the masked pallas variants the gathered j-side is rolled so the
+    chip's own shard comes FIRST: then local row==col index equality means
+    'same body' and the square self-pair mask is exactly right for the
+    whole rectangle."""
     pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)
     mass_all = jax.lax.all_gather(mass_l, axis, tiled=True)
-    return _local_rect_forces(pos_l, pos_all, mass_all, cfg, impl)
+    if _RECT_VARIANTS.get(impl) in ("mxu", "fast", "turbo"):
+        shift = jax.lax.axis_index(axis) * pos_l.shape[0]
+        pos_all = jnp.roll(pos_all, -shift, axis=0)
+        mass_all = jnp.roll(mass_all, -shift, axis=0)
+        return _local_rect_forces(pos_l, pos_all, mass_all, cfg, impl,
+                                  self_tile=True)
+    return _local_rect_forces(pos_l, pos_all, mass_all, cfg, impl,
+                              self_tile=False)
 
 
 def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,

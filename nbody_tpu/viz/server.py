@@ -1,0 +1,145 @@
+"""Live HTTP viewer — the interactive-rate replacement for the reference's
+GLFW window (``simulation_visualization.cpp:172-223``, ``main.cpp:118-133``).
+
+The reference's UX is *watching the run evolve live*; headless TPU pods have
+no display, so the idiomatic equivalent is a tiny in-process HTTP server
+streaming the device-rendered frames to any browser:
+
+- ``/``          a minimal page with a live ``<img>``
+- ``/stream``    ``multipart/x-mixed-replace`` PNG stream (the MJPEG
+                 pattern; browsers render PNG parts natively, so the
+                 existing zlib PNG encoders are reused — no JPEG dep)
+- ``/frame.png`` the latest frame (one-shot)
+
+``LiveViewer`` implements the same ``submit(idx, frame)`` / ``close()``
+interface as ``FrameStreamer``, so it plugs straight into
+``Simulation.run(frame_streamer=...)`` and the CLI (``--viz-serve PORT``).
+Encoding happens on the caller's thread (cheap: 800x600 PNG at low
+compression); delivery fans out on the server's per-client threads.
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+_INDEX_HTML = b"""<!doctype html>
+<html><head><title>nbody_tpu live</title>
+<style>body{background:#111;color:#9e9;font-family:monospace;text-align:center}
+img{image-rendering:pixelated;border:1px solid #333;margin-top:1em}</style>
+</head><body>
+<h3>nbody_tpu &mdash; live simulation view</h3>
+<img src="/stream" alt="live frames">
+<p>green &rarr; red = light &rarr; heavy (the reference's mass lerp)</p>
+</body></html>
+"""
+
+_BOUNDARY = b"nbodyframe"
+
+
+def _encode(rgb: np.ndarray) -> bytes:
+    # Native zlib encoder when built (make -C native); Python fallback
+    # is built into encode_png.
+    from .native_png import encode_png
+    return encode_png(rgb, compress_level=1)
+
+
+class LiveViewer:
+    """Threaded live-view server; drop-in frame_streamer."""
+
+    def __init__(self, port: int = 8000, host: str = "127.0.0.1"):
+        self._cond = threading.Condition()
+        self._seq = 0
+        self._png: Optional[bytes] = None
+        self._closed = False
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):   # quiet
+                pass
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length",
+                                     str(len(_INDEX_HTML)))
+                    self.end_headers()
+                    self.wfile.write(_INDEX_HTML)
+                elif self.path == "/frame.png":
+                    png = viewer._wait_frame(after=-1)
+                    if png is None:
+                        self.send_error(404, "no frame yet")
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    self.end_headers()
+                    self.wfile.write(png)
+                elif self.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; "
+                        f"boundary={_BOUNDARY.decode()}")
+                    self.end_headers()
+                    seen = -1
+                    while True:
+                        png = viewer._wait_frame(after=seen)
+                        if png is None:      # closed
+                            return
+                        seen = viewer._seq
+                        try:
+                            self.wfile.write(
+                                b"--" + _BOUNDARY + b"\r\n"
+                                b"Content-Type: image/png\r\n"
+                                b"Content-Length: "
+                                + str(len(png)).encode() + b"\r\n\r\n"
+                                + png + b"\r\n")
+                        except (BrokenPipeError, ConnectionError):
+                            return
+                else:
+                    self.send_error(404)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        self.frames_written = 0
+
+    def _wait_frame(self, after: int, timeout: float = 30.0):
+        """Block until a frame newer than ``after`` exists (or closed)."""
+        with self._cond:
+            self._cond.wait_for(
+                lambda: self._closed or (self._png is not None
+                                         and self._seq > after),
+                timeout=timeout)
+            if self._png is not None and self._seq > after:
+                return self._png
+            return None
+
+    # -- frame_streamer interface -----------------------------------------
+    def submit(self, idx: int, frame) -> None:
+        png = _encode(np.asarray(frame))
+        with self._cond:
+            self._png = png
+            self._seq += 1
+            self._cond.notify_all()
+        self.frames_written += 1
+
+    def close(self) -> None:
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -69,3 +69,36 @@ class FrameStreamer:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class TeeStreamer:
+    """Fan one frame stream out to several sinks (e.g. PNG files on disk
+    AND the live HTTP viewer)."""
+
+    def __init__(self, *sinks):
+        self.sinks = [s for s in sinks if s is not None]
+
+    def submit(self, idx: int, frame) -> None:
+        frame = np.asarray(frame)
+        for s in self.sinks:
+            s.submit(idx, frame)
+
+    @property
+    def frames_written(self) -> int:
+        return max((s.frames_written for s in self.sinks), default=0)
+
+    def close(self) -> None:
+        errs = []
+        for s in self.sinks:
+            try:
+                s.close()
+            except Exception as e:
+                errs.append(e)
+        if errs:
+            raise errs[0]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,126 @@
+"""Pair-symmetric (Newton's-third-law) Pallas kernels, interpret mode.
+
+These kernels compute each unordered pair once and scatter both force
+contributions (forces_pallas_sym.py) — the round-2 throughput lever.
+Correctness bar: the ``vpu`` variant is EXACT-tier (same contract as the
+one-sided production kernel: 0 bad components at the 1% oracle gate);
+``turbo`` is the documented loose tier.
+
+NOTE: interpret mode does not exercise the platform operand-ingestion bug
+(docs/PERF.md); compiled spot-checks run on the real chip via
+scripts/r2_sym_tpu.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu.ops.forces_pallas_sym import (
+    _panel_layout, forces_pallas_sym)
+from nbody_tpu.ops.forces_xla import forces_chunked
+from nbody_tpu.oracle.numpy_oracle import (
+    assert_matches_oracle, oracle_forces, relative_mismatch)
+from conftest import make_small_system
+
+EPS2 = 0.002
+
+
+@pytest.mark.parametrize("n,bi,bu,pnb", [
+    (384, 64, 128, None),      # single panel, nb=3 (minimum sym sweep)
+    (700, 64, 128, None),      # ragged N -> ghost padding
+    (2048, 128, 256, None),    # nb even -> padded to odd
+    (3000, 64, 256, 5),        # multi-panel decomposition (3 panels)
+    (1280, 128, 128, None),    # block_i == block_u
+])
+def test_sym_vpu_matches_oracle(n, bi, bu, pnb):
+    pos, _, mass = make_small_system(n, seed=31)
+    acc = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=bi, block_u=bu,
+        panel_nb=pnb, variant="vpu"))
+    ref = oracle_forces(pos, mass, EPS2)
+    assert_matches_oracle(acc, ref, f"acc(sym {n})")
+
+
+def test_sym_turbo_loose_tier():
+    n = 2048
+    pos, _, mass = make_small_system(n, seed=32)
+    acc = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=128, block_u=256,
+        variant="turbo"))
+    ref = oracle_forces(pos, mass, EPS2)
+    err = np.abs(acc - ref) / (np.abs(ref) + 1e-30)
+    assert np.percentile(err, 99) < 5e-2   # documented loose contract
+    # Bulk of components still inside the strict gate.
+    assert relative_mismatch(acc, ref, 0.01, 1e-4).mean() < 0.1
+
+
+def test_sym_cross_checks_one_sided_pallas():
+    """Two structurally different device kernels agree (the reference's
+    two-kernel-family cross-check, SURVEY.md section 4)."""
+    n = 1536
+    pos, _, mass = make_small_system(n, seed=33)
+    a_sym = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=128))
+    a_xla = np.asarray(forces_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, chunk=256))
+    np.testing.assert_allclose(a_sym, a_xla, rtol=1e-4, atol=1e-2)
+
+
+def test_sym_momentum_closure():
+    """Pair antisymmetry makes the mass-weighted force sum vanish to
+    rounding: sum_i m_i a_i ~ 0 (each pair contributes m_i m_j (s - s))."""
+    n = 1024
+    pos, _, mass = make_small_system(n, seed=34)
+    acc = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=128))
+    net = np.abs((mass[:, None].astype(np.float64) * acc).sum(axis=0))
+    scale = float((mass[:, None] * np.abs(acc)).sum())
+    assert net.max() / scale < 1e-5
+
+
+def test_panel_layout():
+    # Single panel: nb forced odd.
+    assert _panel_layout(65536, 1024, 128) == (65, 1)
+    assert _panel_layout(1024, 1024, 128) == (1, 1)
+    assert _panel_layout(3072, 1024, 128) == (3, 1)
+    # Multi-panel: cap respected (odd), panels BALANCED so ghost padding
+    # stays ~1% (cap-filling wasted 24% at N=1M), total covers N.
+    for cap in (64, 127, 128, 255):
+        nb, p = _panel_layout(1 << 20, 1024, cap)
+        total = nb * 1024 * p
+        assert nb % 2 == 1 and nb <= cap
+        assert total >= (1 << 20)
+        assert total <= (1 << 20) * 1.03, f"cap={cap}: {total}"
+
+
+def test_sym_block_guards():
+    pos, _, mass = make_small_system(256, seed=35)
+    with pytest.raises(ValueError, match="multiple"):
+        forces_pallas_sym(jnp.asarray(pos), jnp.asarray(mass), EPS2,
+                          block_i=60, block_u=128)
+    with pytest.raises(ValueError, match="multiple"):
+        forces_pallas_sym(jnp.asarray(pos), jnp.asarray(mass), EPS2,
+                          block_i=128, block_u=192)
+    with pytest.raises(ValueError, match="VMEM"):
+        forces_pallas_sym(jnp.asarray(pos), jnp.asarray(mass), EPS2,
+                          block_i=1024, block_u=2048)
+    with pytest.raises(ValueError, match="variant"):
+        forces_pallas_sym(jnp.asarray(pos), jnp.asarray(mass), EPS2,
+                          variant="warp")
+
+
+def test_sym_in_step_loop():
+    """impl='pallas_sym' runs through the jitted step/run_steps path."""
+    from nbody_tpu import SimConfig, SimState, run_steps
+    from nbody_tpu.oracle.numpy_oracle import oracle_run
+    n = 512
+    pos, vel, mass = make_small_system(n, seed=36)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros((n, 3), jnp.float32),
+                     mass=jnp.asarray(mass))
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=64, block_u=128)
+    out = run_steps(state, cfg, 10)
+    rpos, rvel, _ = oracle_run(pos, vel, mass, EPS2, cfg.dt, 10)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(sym)", abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.vel), rvel, "vel(sym)",
+                          abs_tol=1e-2)

@@ -99,6 +99,47 @@ def test_sharded_pallas_interpret():
                           abs_tol=1.0)
 
 
+@pytest.mark.parametrize("impl,comm", [
+    ("pallas_turbo", "ring"),
+    ("pallas_turbo", "allgather"),
+    ("pallas_mxu", "ring"),
+    ("pallas_fast", "ring"),
+])
+def test_sharded_masked_variants_interpret(impl, comm):
+    """Round-2 unlock (VERDICT task 2): the masked mxu/fast/turbo kernels
+    run inside the ring via the per-rotation self-tile flag — masked only
+    on rotation 0 (own shard), unmasked on disjoint rotations; the
+    allgather path rolls its own shard to the front so the square mask
+    applies.  Gate at each tier's documented accuracy."""
+    n, steps = 1024, 2
+    state, pos, vel, mass = make_state(n, seed=26)
+    cfg = SimConfig(n_bodies=n, impl=impl, block_i=8, block_j=128)
+    mesh = make_mesh()
+    out = run_steps_sharded(state, cfg, mesh, steps, impl=impl, comm=comm)
+    rpos, rvel, racc = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps)
+    if impl == "pallas_turbo":   # loose tier: gate p99 relative error
+        err = np.abs(np.asarray(out.acc) - racc) / (np.abs(racc) + 1e-30)
+        assert np.percentile(err, 99) < 5e-2
+        assert np.all(np.isfinite(np.asarray(out.pos)))
+    else:
+        assert_matches_oracle(np.asarray(out.pos), rpos, f"pos({impl})",
+                              abs_tol=1.0, max_frac_bad=2e-3)
+        assert_matches_oracle(np.asarray(out.acc), racc, f"acc({impl})",
+                              abs_tol=1e-4, max_frac_bad=2e-3)
+
+
+def test_sharded_sym_impl_maps_to_rect_twin():
+    """pallas_sym in the ring maps to its one-sided accuracy twin."""
+    n = 512
+    state, pos, vel, mass = make_state(n, seed=27)
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=8, block_j=128)
+    mesh = make_mesh()
+    out = run_steps_sharded(state, cfg, mesh, 2, impl="pallas_sym")
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 2)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(sym-ring)",
+                          abs_tol=1.0)
+
+
 def test_shard_state_placement():
     state, *_ = make_state(512, seed=24)
     mesh = make_mesh()

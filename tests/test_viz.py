@@ -89,6 +89,78 @@ def test_gif_writer(tmp_path):
     assert data.count(b"\x21\xF9") == 3
 
 
+def test_run_trajectory_frames_matches_per_step_render():
+    """Frames rendered inside the compiled scan equal frames rendered from
+    the corresponding trajectory snapshots (the interactive-rate path)."""
+    import jax.numpy as jnp
+    from nbody_tpu import SimConfig, SimState
+    from nbody_tpu.ops.step import run_trajectory, run_trajectory_frames
+    from nbody_tpu.viz.raster import render_frame
+    from conftest import make_small_system
+    n = 128
+    pos, vel, mass = make_small_system(n, seed=40)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros((n, 3), jnp.float32),
+                     mass=jnp.asarray(mass))
+    cfg = SimConfig(n_bodies=n, impl="xla_nxn", viz_width=96, viz_height=64)
+    final, frames = run_trajectory_frames(state, cfg, 6, frame_every=2)
+    final2, snaps = run_trajectory(state, cfg, 6, snap_every=2)
+    assert frames.shape == (3, 64, 96, 3) and frames.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(final.pos),
+                                  np.asarray(final2.pos))
+    for f, s in zip(np.asarray(frames), np.asarray(snaps)):
+        expect = np.asarray(render_frame(
+            jnp.asarray(s), state.mass, cfg.min_mass, cfg.max_mass,
+            cfg.max_view, 96, 64))
+        np.testing.assert_array_equal(f, expect)
+
+
+def test_live_viewer_serves_frames():
+    """LiveViewer: latest-frame endpoint and multipart stream deliver the
+    submitted PNG (the reference's live-window replacement)."""
+    import urllib.request
+    from nbody_tpu.viz.server import LiveViewer
+    frame = np.zeros((8, 8, 3), np.uint8)
+    frame[2, 3] = (255, 0, 0)
+    with LiveViewer(port=0) as lv:
+        lv.submit(0, frame)
+        url = f"http://127.0.0.1:{lv.port}"
+        html = urllib.request.urlopen(f"{url}/", timeout=10).read()
+        assert b"/stream" in html
+        png = urllib.request.urlopen(f"{url}/frame.png", timeout=10).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        with urllib.request.urlopen(f"{url}/stream", timeout=10) as r:
+            assert "multipart/x-mixed-replace" in r.headers["Content-Type"]
+            header = (b"--nbodyframe\r\nContent-Type: image/png\r\n"
+                      b"Content-Length: " + str(len(png)).encode()
+                      + b"\r\n\r\n")
+            part = r.read(len(header) + len(png))
+            assert part == header + png
+    assert lv.frames_written == 1
+
+
+def test_cli_viz_serve(tmp_path):
+    """--viz-serve end-to-end through the CLI (port 0 = auto)."""
+    from nbody_tpu.cli import main
+    rc = main(["run", "--n", "64", "--steps", "4", "--impl", "xla_nxn",
+               "--viz-serve", "0", "--viz-every", "2"])
+    assert rc == 0
+
+
+def test_simulation_batched_viz_counts_frames(tmp_path):
+    """The batched on-device render path submits one frame per viz_every."""
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.viz.stream import FrameStreamer
+    cfg = SimConfig(n_bodies=64, impl="xla_nxn", viz_every=3,
+                    viz_width=64, viz_height=48)
+    sim = Simulation(cfg)
+    vd = str(tmp_path / "f")
+    with FrameStreamer(vd) as fs:
+        sim.run(n_steps=12, log_every=6, frame_streamer=fs)
+    assert fs.frames_written == 4
+
+
 def test_frame_streamer(tmp_path):
     out = str(tmp_path / "frames")
     with FrameStreamer(out) as fs:
