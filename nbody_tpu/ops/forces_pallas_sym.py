@@ -185,7 +185,9 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
         xjT = posT_ref[:]                   # (3, U)
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
-        j_sb = jax.lax.rem(i_sb + 1 + dd, nb)
+        # int32 constant: lax.rem is strict about dtypes, and an x64-enabled
+        # process would promote a bare Python int to int64.
+        j_sb = jax.lax.rem(i_sb + 1 + dd, jnp.int32(nb))
         if variant == "vpu":
             acc_i_ref[:] += _accum_i_vpu(dx, dy, dz, fi)
             _scatter_add(acc_jT_ref, j_sb, -_accum_j_vpu(dx, dy, dz, fj))

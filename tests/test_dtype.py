@@ -93,8 +93,9 @@ def test_pallas_rejects_non_f32():
         compute_forces(state.pos, state.mass, cfg, impl="pallas_sym")
 
 
-def test_cli_dtype_f64(tmp_path, capsys):
-    """--dtype float64 end-to-end through the CLI (enables x64)."""
+def test_cli_dtype_f64(tmp_path, capsys, x64):
+    """--dtype float64 end-to-end through the CLI (enables x64; the x64
+    fixture restores the flag so later tests aren't run in x64 mode)."""
     from nbody_tpu.cli import main
     ck = str(tmp_path / "c.npz")
     rc = main(["run", "--n", "96", "--steps", "4", "--impl", "xla",
