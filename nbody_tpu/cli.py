@@ -61,8 +61,9 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--dt", type=float, default=0.1, action=_TrackedStore)
     p.add_argument("--eps2", type=float, default=0.002, action=_TrackedStore)
     p.add_argument("--impl", default="auto", action=_TrackedStore,
-                   choices=["auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
-                            "pallas_fast", "pallas_turbo", "pallas_sym",
+                   choices=["auto", "xla", "xla_nxn", "pallas",
+                            "pallas_kahan", "pallas_mxu", "pallas_fast",
+                            "pallas_turbo", "pallas_sym",
                             "pallas_sym_turbo"],
                    help="force backend (reference kernel-type prompt)")
     p.add_argument("--integrator", default="reference", action=_TrackedStore,

@@ -32,9 +32,9 @@ DEFAULT_N_BODIES = 8192
 # View box used by the visualizer — reference TestProject/constants.h:21-23
 DEFAULT_MAX_VIEW = 200_000.0
 
-_VALID_IMPLS = ("auto", "xla", "xla_nxn", "pallas", "pallas_mxu",
-                "pallas_fast", "pallas_turbo", "pallas_sym",
-                "pallas_sym_turbo")
+_VALID_IMPLS = ("auto", "xla", "xla_nxn", "pallas", "pallas_kahan",
+                "pallas_mxu", "pallas_fast", "pallas_turbo", "pallas_sym",
+                "pallas_sym_turbo", "pallas_sym_turbo2")
 _VALID_INTEGRATORS = ("reference", "kdk")
 
 

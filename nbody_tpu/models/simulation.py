@@ -161,9 +161,11 @@ class Simulation:
             chunk_frames = None
             if batched_viz:
                 from ..ops.step import run_trajectory_frames
+                # packed=True ships 1-byte weight maps (the stream is
+                # device->host bandwidth-bound); colorized on submit below.
                 self.state, frames = run_trajectory_frames(
                     self.state, cfg, todo, frame_every=cfg.viz_every,
-                    impl=self.impl)
+                    impl=self.impl, packed=True)
                 chunk_frames = np.asarray(frames)  # forces completion
             else:
                 self._run_chunk(todo)
@@ -176,8 +178,9 @@ class Simulation:
             self.step_count += todo
 
             if chunk_frames is not None:
+                from ..viz.raster import colorize
                 for f in chunk_frames:
-                    frame_streamer.submit(frame_idx, f)
+                    frame_streamer.submit(frame_idx, colorize(f))
                     frame_idx += 1
 
             if nan_watchdog:

@@ -47,23 +47,26 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
         return forces_nxn(pos, mass, cfg.eps2)
     if impl == "xla":
         return forces_chunked(pos, mass, cfg.eps2, chunk=cfg.chunk)
-    if impl in ("pallas", "pallas_mxu", "pallas_fast", "pallas_turbo",
-                "pallas_sym", "pallas_sym_turbo"):
+    if impl in ("pallas", "pallas_kahan", "pallas_mxu", "pallas_fast",
+                "pallas_turbo", "pallas_sym", "pallas_sym_turbo",
+                "pallas_sym_turbo2"):
         if pos.dtype != jnp.float32:
             raise ValueError(
                 f"pallas force kernels are float32-only (got {pos.dtype}); "
                 "use impl='xla' for float64/bfloat16 state")
-        if impl in ("pallas_sym", "pallas_sym_turbo"):
-            # Pair-symmetric kernels (each pair computed once, N3L);
-            # block_j doubles as the superblock width U.
+        if impl.startswith("pallas_sym"):
+            # Pair-symmetric kernels (each pair computed once, N3L).
             from .forces_pallas_sym import forces_pallas_sym
+            variant = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
+                       "pallas_sym_turbo2": "turbo2"}[impl]
             return forces_pallas_sym(
                 pos, mass, cfg.eps2, block_i=cfg.block_i,
                 block_u=cfg.block_u, panel_nb=cfg.panel_nb,
-                variant="turbo" if impl.endswith("turbo") else "vpu")
+                variant=variant)
         from .forces_pallas import forces_pallas
-        variant = {"pallas": "vpu", "pallas_mxu": "mxu",
-                   "pallas_fast": "fast", "pallas_turbo": "turbo"}[impl]
+        variant = {"pallas": "vpu", "pallas_kahan": "vpu_kahan",
+                   "pallas_mxu": "mxu", "pallas_fast": "fast",
+                   "pallas_turbo": "turbo"}[impl]
         return forces_pallas(pos, mass, cfg.eps2,
                              block_i=cfg.block_i, block_j=cfg.block_j,
                              variant=variant)

@@ -68,7 +68,7 @@ from ..models.state import round_up
 # sharedMemPerBlock check (kernel.cu:637-641).
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
-VARIANTS = ("vpu", "mxu", "fast", "turbo")
+VARIANTS = ("vpu", "vpu_kahan", "mxu", "fast", "turbo")
 
 
 def _validate_blocks(ni_pad: int, block_i: int, block_j: int,
@@ -165,6 +165,45 @@ def _force_kernel_vpu(pos_i_ref, posT_j_ref, mass_j_ref, acc_ref, *, eps2):
     ay = jnp.sum(f * dy, axis=1, keepdims=True)
     az = jnp.sum(f * dz, axis=1, keepdims=True)
     acc_ref[:] += jnp.concatenate([ax, ay, az], axis=1)
+
+
+def _force_kernel_vpu_kahan(pos_i_ref, posT_j_ref, mass_j_ref, acc_ref,
+                            comp_ref, *, eps2):
+    """Exact kernel + Kahan-compensated accumulation across j-tiles.
+
+    Opt-in precision tier for the drift-gate analysis (BASELINE.md): the
+    per-tile contribution enters the running i-block sum through a
+    two-sum with a persistent compensation buffer, removing the fp32
+    accumulation-order error across the j sweep.  Measured effect is
+    documented in BASELINE.md — the binding error at reference physics is
+    the integrator during unsoftened encounters, not summation."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        comp_ref[:] = jnp.zeros_like(comp_ref)
+
+    xi = pos_i_ref[:]
+    xj = posT_j_ref[:]
+    m = mass_j_ref[:]
+
+    dx = xj[0:1, :] - xi[:, 0:1]
+    dy = xj[1:2, :] - xi[:, 1:2]
+    dz = xj[2:3, :] - xi[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz + eps2
+    f = m * jax.lax.rsqrt(d2 * d2 * d2)
+
+    ax = jnp.sum(f * dx, axis=1, keepdims=True)
+    ay = jnp.sum(f * dy, axis=1, keepdims=True)
+    az = jnp.sum(f * dz, axis=1, keepdims=True)
+    contrib = jnp.concatenate([ax, ay, az], axis=1)
+
+    # Kahan two-sum: acc += contrib with carried compensation.
+    y = contrib - comp_ref[:]
+    t = acc_ref[:] + y
+    comp_ref[:] = (t - acc_ref[:]) - y
+    acc_ref[:] = t
 
 
 def _force_kernel_turbo(pos_i_ref, posT_j_ref, pos_j_ref, mass_j_ref,
@@ -369,6 +408,11 @@ def _forces_pallas_padded(pos_i, posT, pos_j, mass_row,
         kernel = functools.partial(_force_kernel_vpu, eps2=eps2)
         in_specs = [spec_pos_i, spec_posT_j, spec_mass_j]
         operands = (pos_i, posT, mass_row)
+    elif variant == "vpu_kahan":
+        kernel = functools.partial(_force_kernel_vpu_kahan, eps2=eps2)
+        in_specs = [spec_pos_i, spec_posT_j, spec_mass_j]
+        operands = (pos_i, posT, mass_row)
+        scratch_shapes = [pltpu.VMEM((block_i, 3), pos_i.dtype)]
     elif variant == "mxu":
         kernel = functools.partial(
             _force_kernel_mxu, eps2=eps2, block_i=block_i, block_j=block_j,

@@ -60,7 +60,7 @@ from ..models.state import round_up
 # reference's sharedMemPerBlock check, kernel.cu:637-641).
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
-SYM_VARIANTS = ("vpu", "turbo")
+SYM_VARIANTS = ("vpu", "turbo", "turbo2")
 
 
 def _pair_terms(xi, xjT, mass_row_j, mass_col_i, eps2):
@@ -131,6 +131,40 @@ def _accum_j_turbo(fj, xi, xjT, block_i):
     return (out8[0:3, :] + out8[3:6, :]) - xjT * out8[6:7, :]
 
 
+def _mass_folded_pack(x, m_col, n_rows):
+    """turbo2 pack: [P_hi | P_lo | m_hi | m_lo] bf16 with P = m*x, so the
+    contraction against raw bf16(inv) yields BOTH sum(m*inv*x) and
+    sum(m*inv) — the per-pair mass multiplies move from the VPU into the
+    pack (O(n) per tile instead of O(BI*U) per pair).  Both P and m are
+    hi/lo split, so pack fidelity is ~f32; the tier-limiting error remains
+    bf16(inv) (~0.4%/pair), same contract as turbo."""
+    p = m_col * x
+    ph, pl = _bf16_split(p)
+    mh, ml = _bf16_split(m_col)
+    return jnp.concatenate([ph, pl, mh, ml], axis=1)       # (n, 8) bf16
+
+
+def _accum_i_turbo2(inv_bf16, xi, pos_j, mass_col_j, block_u):
+    """acc_i tile contribution = sum_j (m_j inv)(xj - xi), one bf16 matmul
+    against the mass-folded j pack."""
+    xj8m = _mass_folded_pack(pos_j, mass_col_j, block_u)   # (U, 8)
+    out = jax.lax.dot_general(
+        inv_bf16, xj8m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (BI, 8)
+    return (out[:, 0:3] + out[:, 3:6]) - xi * (out[:, 6:7] + out[:, 7:8])
+
+
+def _accum_j_turbo2(inv_bf16, xi, mass_col_i, xjT, block_i):
+    """acc_j tile contribution = sum_i (m_i inv)(xi - xj), in (3,U)
+    orientation via the transposed contraction."""
+    xi8m = _mass_folded_pack(xi, mass_col_i, block_i)      # (BI, 8)
+    out8 = jax.lax.dot_general(
+        xi8m, inv_bf16, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (8, U)
+    return (out8[0:3, :] + out8[3:6, :]) - xjT * (out8[6:7, :]
+                                                  + out8[7:8, :])
+
+
 # --------------------------------------------------------------------------
 # Kernel bodies
 # --------------------------------------------------------------------------
@@ -167,7 +201,7 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
     pallas_call traces the SAME kernel object -> one Mosaic compilation.)"""
 
     def body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, pos_j_ref,
-             acc_i_ref, acc_jT_ref):
+             mass_col_j_ref, acc_i_ref, acc_jT_ref):
         i_sb = pl.program_id(0)
         dd = pl.program_id(2)
         first = jnp.logical_and(
@@ -183,26 +217,53 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
 
         xi = pos_i_ref[:]                   # (BI, 3)
         xjT = posT_ref[:]                   # (3, U)
-        dx, dy, dz, fi, fj = _pair_terms(
-            xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
         # int32 constant: lax.rem is strict about dtypes, and an x64-enabled
         # process would promote a bare Python int to int64.
         j_sb = jax.lax.rem(i_sb + 1 + dd, jnp.int32(nb))
+        if variant == "turbo2":
+            dx = xjT[0:1, :] - xi[:, 0:1]
+            dy = xjT[1:2, :] - xi[:, 1:2]
+            dz = xjT[2:3, :] - xi[:, 2:3]
+            d2 = dx * dx + dy * dy + dz * dz + eps2
+            ib = jax.lax.rsqrt(d2 * d2 * d2).astype(jnp.bfloat16)
+            acc_i_ref[:] += _accum_i_turbo2(
+                ib, xi, pos_j_ref[:], mass_col_j_ref[:], block_u)
+            _scatter_add(acc_jT_ref, j_sb, _accum_j_turbo2(
+                ib, xi, mass_col_ref[:], xjT, block_i))
+            return
+        dx, dy, dz, fi, fj = _pair_terms(
+            xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
         if variant == "vpu":
             acc_i_ref[:] += _accum_i_vpu(dx, dy, dz, fi)
             _scatter_add(acc_jT_ref, j_sb, -_accum_j_vpu(dx, dy, dz, fj))
+        elif variant == "vpu_noj":      # ablation: i-side only (WRONG
+            acc_i_ref[:] += _accum_i_vpu(dx, dy, dz, fi)   # results)
+        elif variant == "vpu_fix0":     # ablation: scatter to a fixed slot
+            acc_i_ref[:] += _accum_i_vpu(dx, dy, dz, fi)
+            acc_jT_ref[0] = acc_jT_ref[0] - _accum_j_vpu(dx, dy, dz, fj)
         else:  # turbo
             acc_i_ref[:] += _accum_i_turbo(fi, xi, pos_j_ref[:], block_u)
             _scatter_add(acc_jT_ref, j_sb, _accum_j_turbo(fj, xi, xjT,
                                                           block_i))
 
-    if variant == "vpu":
+    if variant.startswith("vpu"):
         def kernel(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref,
                    acc_i_ref, acc_jT_ref):
             body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, None,
-                 acc_i_ref, acc_jT_ref)
+                 None, acc_i_ref, acc_jT_ref)
         return kernel
-    return body
+    if variant == "turbo":
+        def kernel(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref,
+                   pos_j_ref, acc_i_ref, acc_jT_ref):
+            body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, pos_j_ref,
+                 None, acc_i_ref, acc_jT_ref)
+        return kernel
+
+    def kernel(pos_i_ref, mass_col_ref, posT_ref, pos_j_ref, mass_col_j_ref,
+               acc_i_ref, acc_jT_ref):
+        body(pos_i_ref, mass_col_ref, posT_ref, None, pos_j_ref,
+             mass_col_j_ref, acc_i_ref, acc_jT_ref)
+    return kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -212,7 +273,7 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
     jb), acc_bT resident."""
 
     def body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref, pos_b_ref,
-             acc_a_ref, acc_bT_ref):
+             mass_col_b_ref, acc_a_ref, acc_bT_ref):
         ia = pl.program_id(0)
         jb = pl.program_id(1)
 
@@ -226,6 +287,17 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
 
         xi = pos_a_ref[:]
         xjT = posT_b_ref[:]
+        if variant == "turbo2":
+            dx = xjT[0:1, :] - xi[:, 0:1]
+            dy = xjT[1:2, :] - xi[:, 1:2]
+            dz = xjT[2:3, :] - xi[:, 2:3]
+            d2 = dx * dx + dy * dy + dz * dz + eps2
+            ib = jax.lax.rsqrt(d2 * d2 * d2).astype(jnp.bfloat16)
+            acc_a_ref[:] += _accum_i_turbo2(
+                ib, xi, pos_b_ref[:], mass_col_b_ref[:], block_u)
+            _scatter_add(acc_bT_ref, jb, _accum_j_turbo2(
+                ib, xi, mass_col_ref[:], xjT, block_i))
+            return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
         if variant == "vpu":
@@ -240,9 +312,20 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
         def kernel(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref,
                    acc_a_ref, acc_bT_ref):
             body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref, None,
-                 acc_a_ref, acc_bT_ref)
+                 None, acc_a_ref, acc_bT_ref)
         return kernel
-    return body
+    if variant == "turbo":
+        def kernel(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref,
+                   pos_b_ref, acc_a_ref, acc_bT_ref):
+            body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref,
+                 pos_b_ref, None, acc_a_ref, acc_bT_ref)
+        return kernel
+
+    def kernel(pos_a_ref, mass_col_ref, posT_b_ref, pos_b_ref,
+               mass_col_b_ref, acc_a_ref, acc_bT_ref):
+        body(pos_a_ref, mass_col_ref, posT_b_ref, None, pos_b_ref,
+             mass_col_b_ref, acc_a_ref, acc_bT_ref)
+    return kernel
 
 
 # --------------------------------------------------------------------------
@@ -294,17 +377,26 @@ def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
         pl.BlockSpec((3, block_u),
                      lambda I, si, dd, _nb=nb: (0, (I + 1 + dd) % _nb),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_u),
-                     lambda I, si, dd, _nb=nb: (0, (I + 1 + dd) % _nb),
-                     memory_space=pltpu.VMEM),
     ]
-    operands = [pos_p, mass_col_p, posT_p, mass_row_p]
-    if variant != "vpu":
+    operands = [pos_p, mass_col_p, posT_p]
+    if variant != "turbo2":
+        in_specs.append(
+            pl.BlockSpec((1, block_u),
+                         lambda I, si, dd, _nb=nb: (0, (I + 1 + dd) % _nb),
+                         memory_space=pltpu.VMEM))
+        operands.append(mass_row_p)
+    if variant in ("turbo", "turbo2"):
         in_specs.append(
             pl.BlockSpec((block_u, 3),
                          lambda I, si, dd, _nb=nb: ((I + 1 + dd) % _nb, 0),
                          memory_space=pltpu.VMEM))
         operands.append(pos_p)
+    if variant == "turbo2":
+        in_specs.append(
+            pl.BlockSpec((block_u, 1),
+                         lambda I, si, dd, _nb=nb: ((I + 1 + dd) % _nb, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(mass_col_p)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -331,8 +423,8 @@ def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
     )(*operands)
 
 
-def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, *, eps2,
-               nb_b, block_i, block_u, variant, interpret):
+def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, mass_col_b, *,
+               eps2, nb_b, block_i, block_u, variant, interpret):
     ma = pos_a.shape[0]
     grid = (ma // block_i, nb_b)
     kernel = _make_rect_kernel(variant, eps2, block_i, block_u)
@@ -343,15 +435,23 @@ def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, *, eps2,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, block_u), lambda ia, jb: (0, jb),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_u), lambda ia, jb: (0, jb),
-                     memory_space=pltpu.VMEM),
     ]
-    operands = [pos_a, mass_col_a, posT_b, mass_row_b]
-    if variant != "vpu":
+    operands = [pos_a, mass_col_a, posT_b]
+    if variant != "turbo2":
+        in_specs.append(
+            pl.BlockSpec((1, block_u), lambda ia, jb: (0, jb),
+                         memory_space=pltpu.VMEM))
+        operands.append(mass_row_b)
+    if variant in ("turbo", "turbo2"):
         in_specs.append(
             pl.BlockSpec((block_u, 3), lambda ia, jb: (jb, 0),
                          memory_space=pltpu.VMEM))
         operands.append(pos_b)
+    if variant == "turbo2":
+        in_specs.append(
+            pl.BlockSpec((block_u, 1), lambda ia, jb: (jb, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(mass_col_b)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -464,7 +564,7 @@ def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
     for a in range(panels):
         for b in range(a + 1, panels):
             acc_a, acc_bT = _rect_call(
-                pa[a], mca[a], paT[b], mra[b], pa[b], eps2=eps2,
+                pa[a], mca[a], paT[b], mra[b], pa[b], mca[b], eps2=eps2,
                 nb_b=panel_nb, block_i=block_i, block_u=block_u,
                 variant=variant, interpret=interpret)
             acc[a] = acc[a] + acc_a

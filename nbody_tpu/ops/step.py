@@ -87,11 +87,13 @@ def run_trajectory(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "frame_every", "impl"))
+    jax.jit, static_argnames=("cfg", "n_steps", "frame_every", "impl",
+                              "packed"))
 def run_trajectory_frames(
         state: SimState, cfg: SimConfig, n_steps: int,
         frame_every: int = 1,
-        impl: "str | None" = None) -> Tuple[SimState, jax.Array]:
+        impl: "str | None" = None,
+        packed: bool = False) -> Tuple[SimState, jax.Array]:
     """Run n_steps with RENDERED frames captured on device inside the scan.
 
     The interactive-rate path (VERDICT round 1): the reference renders
@@ -101,14 +103,19 @@ def run_trajectory_frames(
     transfer per chunk instead of one round-trip per frame (the round-trip,
     not the rasterizer, was the 7 fps bottleneck through the relay).
 
-    Returns (final_state, frames (n_steps // frame_every, H, W, 3) uint8).
+    Returns (final_state, frames): (F, H, W, 3) uint8 RGB, or with
+    ``packed=True`` an (F, H, W) uint8 weight map (1 byte/pixel — the
+    bandwidth-lean wire format; ``viz.raster.colorize`` reproduces the RGB
+    pixels exactly on the host).
     """
-    from ..viz.raster import render_frame
+    from ..viz.raster import render_frame, render_weights
+
+    render = render_weights if packed else render_frame
 
     def outer(s, _):
         s = jax.lax.fori_loop(
             0, frame_every, lambda _, st: step(st, cfg, impl=impl), s)
-        frame = render_frame(
+        frame = render(
             s.pos, s.mass, cfg.min_mass, cfg.max_mass, cfg.max_view,
             cfg.viz_width, cfg.viz_height)
         return s, frame

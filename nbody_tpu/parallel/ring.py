@@ -36,8 +36,10 @@ from .mesh import SHARD_AXIS
 # j-side force contributions shipped BACK around the ring (doubling comm);
 # the local rect sweep stays one-sided, same physics and accuracy tier.
 _RECT_VARIANTS = {"pallas": "vpu", "pallas_sym": "vpu",
+                  "pallas_kahan": "vpu_kahan",
                   "pallas_mxu": "mxu", "pallas_fast": "fast",
-                  "pallas_turbo": "turbo", "pallas_sym_turbo": "turbo"}
+                  "pallas_turbo": "turbo", "pallas_sym_turbo": "turbo",
+                  "pallas_sym_turbo2": "turbo"}
 
 
 def _local_rect_forces(pos_i, pos_j, mass_j, cfg: SimConfig, impl: str,

@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Defaults matching simulation_visualization.h:8-9 and constants.h:15-23
 DEFAULT_WIDTH = 800
@@ -28,21 +29,21 @@ DEFAULT_HEIGHT = 600
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "view_axis", "background"))
-def render_frame(pos: jax.Array, mass: jax.Array,
-                 min_mass: float, max_mass: float, max_view: float,
-                 width: int = DEFAULT_WIDTH, height: int = DEFAULT_HEIGHT,
-                 view_axis: int = 2, background: float = 0.0) -> jax.Array:
-    """Rasterize bodies to an (H, W, 3) uint8 RGB frame on device.
+    jax.jit, static_argnames=("width", "height", "view_axis"))
+def render_weights(pos: jax.Array, mass: jax.Array,
+                   min_mass: float, max_mass: float, max_view: float,
+                   width: int = DEFAULT_WIDTH, height: int = DEFAULT_HEIGHT,
+                   view_axis: int = 2) -> jax.Array:
+    """Rasterize bodies to a PACKED (H, W) uint8 weight map on device:
+    0 = background, 1..255 = quantized mass weight (the fragment shader's
+    [0,1] lerp parameter).  One byte/pixel instead of three — the frame
+    stream is device->host bandwidth-bound through the relay, and color is
+    a deterministic 1-D function of weight, so frames ship packed and
+    colorize host-side (``colorize``) with identical pixels.
 
-    Color: green->red lerp by normalized mass weight, exactly the fragment
-    shader's ``mix(green, red, weight)`` (simulation_visualization.cpp:46-56).
-    Bodies outside the +/-max_view box clip out (NDC clip behavior).
-    Where several bodies land on one pixel the max weight wins (a depth-less
-    brightest-point rule standing in for GL's last-write; deterministic,
-    unlike the reference).  Zero-mass ghosts never draw (their weight is
-    below any real body's and the background is reserved).
+    Where several bodies land on one pixel the max weight wins (a
+    depth-less brightest-point rule standing in for GL's last-write;
+    deterministic, unlike the reference).  Zero-mass ghosts never draw.
     """
     axes = [a for a in range(3) if a != view_axis]
     u = pos[:, axes[0]] / max_view          # NDC x in [-1, 1]
@@ -56,16 +57,48 @@ def render_frame(pos: jax.Array, mass: jax.Array,
               & (mass > 0.0))
 
     flat_idx = jnp.where(inside, py * width + px, width * height)
-    # weight+1 keeps any real body above the 0.0 background sentinel.
-    splat = jnp.zeros((width * height + 1,), jnp.float32).at[flat_idx].max(
-        jnp.where(inside, weight + 1.0, 0.0))
-    splat = splat[:-1].reshape(height, width)
+    # 1 + w*254 keeps any real body above the 0 background sentinel.
+    w8 = (weight * 254.0 + 1.5).astype(jnp.uint8)   # 1..255
+    splat = jnp.zeros((width * height + 1,), jnp.uint8).at[flat_idx].max(
+        jnp.where(inside, w8, jnp.uint8(0)))
+    return splat[:-1].reshape(height, width)
 
-    hit = splat > 0.0
-    w = jnp.clip(splat - 1.0, 0.0, 1.0)
-    # mix(green, red, w): r = w, g = 1-w, b = 0 (fragment shader :51-55)
-    r = jnp.where(hit, w, background)
-    g = jnp.where(hit, 1.0 - w, background)
-    b = jnp.where(hit, 0.0, background)
-    frame = jnp.stack([r, g, b], axis=-1)
-    return (frame * 255.0 + 0.5).astype(jnp.uint8)
+
+def _weight_lut() -> np.ndarray:
+    """(256, 3) uint8 LUT: index 0 = background (black), 1..255 = the
+    fragment shader's mix(green, red, w) (simulation_visualization.cpp:46-56)
+    with w = (k-1)/254."""
+    k = np.arange(256, dtype=np.float32)
+    w = np.clip((k - 1.0) / 254.0, 0.0, 1.0)
+    lut = np.stack([w, 1.0 - w, np.zeros_like(w)], axis=-1)
+    lut = (lut * 255.0 + 0.5).astype(np.uint8)
+    lut[0] = 0
+    return lut
+
+
+_LUT = _weight_lut()
+
+
+def colorize(weights) -> np.ndarray:
+    """Host-side (H, W) uint8 weight map -> (H, W, 3) uint8 RGB."""
+    return _LUT[np.asarray(weights)]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "view_axis"))
+def render_frame(pos: jax.Array, mass: jax.Array,
+                 min_mass: float, max_mass: float, max_view: float,
+                 width: int = DEFAULT_WIDTH, height: int = DEFAULT_HEIGHT,
+                 view_axis: int = 2) -> jax.Array:
+    """Rasterize bodies to an (H, W, 3) uint8 RGB frame on device.
+
+    Color: green->red lerp by normalized mass weight, exactly the fragment
+    shader's ``mix(green, red, weight)`` (simulation_visualization.cpp:46-56).
+    Bodies outside the +/-max_view box clip out (NDC clip behavior).
+    Pixels are identical to ``colorize(render_weights(...))`` — this is the
+    on-device colorized variant for consumers that want RGB directly.
+    """
+    w8 = render_weights(pos, mass, min_mass, max_mass, max_view,
+                        width, height, view_axis)
+    return jnp.asarray(_LUT)[w8]

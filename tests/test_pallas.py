@@ -95,6 +95,23 @@ def test_pallas_autoshrink_small_n():
     assert_matches_oracle(acc, ref, "acc(pallas-small)")
 
 
+def test_pallas_kahan_matches_oracle():
+    """Kahan-compensated accumulation (opt-in precision tier): at least as
+    accurate as plain vpu vs the f64 oracle."""
+    pos, _, mass = make_small_system(1024, seed=16)
+    acc = np.asarray(forces_pallas(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_j=128,
+        variant="vpu_kahan"))
+    ref = oracle_forces(pos, mass, EPS2)
+    assert_matches_oracle(acc, ref, "acc(kahan)")
+    plain = np.asarray(forces_pallas(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_j=128,
+        variant="vpu"))
+    err_k = np.abs(acc - ref).max()
+    err_p = np.abs(plain - ref).max()
+    assert err_k <= err_p * 1.5   # compensated sum never much worse
+
+
 def test_shrink_blocks_uses_unpadded_n():
     """Regression (ADVICE round 1): shrinking must see the raw N, not the
     already-padded one, so small systems don't pad to 2048 ghosts."""

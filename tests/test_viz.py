@@ -115,6 +115,20 @@ def test_run_trajectory_frames_matches_per_step_render():
         np.testing.assert_array_equal(f, expect)
 
 
+def test_packed_weights_colorize_exactly():
+    """colorize(render_weights(...)) reproduces render_frame pixel-exactly
+    (the packed 1-byte wire format loses nothing)."""
+    import jax.numpy as jnp
+    from nbody_tpu.viz.raster import colorize, render_frame, render_weights
+    from conftest import make_small_system
+    pos, _, mass = make_small_system(256, seed=41)
+    args = (jnp.asarray(pos), jnp.asarray(mass), 1e5, 1e9, 2e5, 120, 90)
+    rgb = np.asarray(render_frame(*args))
+    w8 = np.asarray(render_weights(*args))
+    assert w8.shape == (90, 120) and w8.dtype == np.uint8
+    np.testing.assert_array_equal(colorize(w8), rgb)
+
+
 def test_live_viewer_serves_frames():
     """LiveViewer: latest-frame endpoint and multipart stream deliver the
     submitted PNG (the reference's live-window replacement)."""
