@@ -12,8 +12,9 @@ import sys
 
 
 def main() -> int:
-    # Headline config: N=1M single chip, exact Pallas kernel (BASELINE.md
-    # config #3). ~6 s/step on v5e; steps kept small to bound runtime.
+    # Headline config: N=1M single chip, exact pair-symmetric Pallas kernel
+    # (BASELINE.md config #3; impl=auto resolves to pallas_sym on TPU).
+    # ~4.4 s/step on v5e; steps kept small to bound runtime.
     n = int(os.environ.get("NBODY_BENCH_N", "1048576"))
     steps = int(os.environ.get("NBODY_BENCH_STEPS", "3"))
     impl = os.environ.get("NBODY_BENCH_IMPL", "auto")

@@ -31,7 +31,9 @@ def resolve_impl(cfg: SimConfig) -> str:
     if cfg.n_bodies <= 4096 and not on_tpu:
         return "xla_nxn"
     if on_tpu:
-        return "pallas"
+        # Pair-symmetric exact kernel when the superblock padding is
+        # negligible; small N keeps the one-sided kernel's auto-shrink.
+        return "pallas_sym" if cfg.n_bodies >= 16384 else "pallas"
     return "xla"
 
 
@@ -49,7 +51,7 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
         return forces_chunked(pos, mass, cfg.eps2, chunk=cfg.chunk)
     if impl in ("pallas", "pallas_kahan", "pallas_mxu", "pallas_fast",
                 "pallas_turbo", "pallas_sym", "pallas_sym_turbo",
-                "pallas_sym_turbo2"):
+                "pallas_sym_turbo2", "pallas_sym_mxu"):
         if pos.dtype != jnp.float32:
             raise ValueError(
                 f"pallas force kernels are float32-only (got {pos.dtype}); "
@@ -58,7 +60,8 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
             # Pair-symmetric kernels (each pair computed once, N3L).
             from .forces_pallas_sym import forces_pallas_sym
             variant = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
-                       "pallas_sym_turbo2": "turbo2"}[impl]
+                       "pallas_sym_turbo2": "turbo2",
+                       "pallas_sym_mxu": "mxu"}[impl]
             return forces_pallas_sym(
                 pos, mass, cfg.eps2, block_i=cfg.block_i,
                 block_u=cfg.block_u, panel_nb=cfg.panel_nb,

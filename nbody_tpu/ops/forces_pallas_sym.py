@@ -60,7 +60,7 @@ from ..models.state import round_up
 # reference's sharedMemPerBlock check, kernel.cu:637-641).
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
-SYM_VARIANTS = ("vpu", "turbo", "turbo2")
+SYM_VARIANTS = ("vpu", "turbo", "turbo2", "mxu")
 
 
 def _pair_terms(xi, xjT, mass_row_j, mass_col_i, eps2):
@@ -165,6 +165,32 @@ def _accum_j_turbo2(inv_bf16, xi, mass_col_i, xjT, block_i):
                                                   + out8[7:8, :])
 
 
+def _accum_both_mxu(inv, xi, xjT, mass_col_i, pos_j, mass_col_j,
+                    block_i, block_u):
+    """Near-exact MXU tier: hi/lo bf16 limbs of ``inv`` (~16-bit fidelity)
+    against the mass-folded packs, both sides — four matmuls per tile, ~15
+    VPU flops per pair for TWO interactions.  Accuracy is bounded by the
+    16-bit representation of inv (p99 ~3e-4 vs the f64 oracle, the same
+    tier as the one-sided mxu variant) rather than turbo's 8-bit."""
+    ih, il = _bf16_split(inv)
+    xj8m = _mass_folded_pack(pos_j, mass_col_j, block_u)   # (U, 8)
+    dn_i = (((1,), (0,)), ((), ()))
+    out = (jax.lax.dot_general(ih, xj8m, dn_i,
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(il, xj8m, dn_i,
+                                 preferred_element_type=jnp.float32))
+    acc_i = (out[:, 0:3] + out[:, 3:6]) - xi * (out[:, 6:7] + out[:, 7:8])
+    xi8m = _mass_folded_pack(xi, mass_col_i, block_i)      # (BI, 8)
+    dn_j = (((0,), (0,)), ((), ()))
+    out8 = (jax.lax.dot_general(xi8m, ih, dn_j,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xi8m, il, dn_j,
+                                  preferred_element_type=jnp.float32))
+    acc_j = (out8[0:3, :] + out8[3:6, :]) - xjT * (out8[6:7, :]
+                                                   + out8[7:8, :])
+    return acc_i, acc_j
+
+
 # --------------------------------------------------------------------------
 # Kernel bodies
 # --------------------------------------------------------------------------
@@ -220,16 +246,24 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
         # int32 constant: lax.rem is strict about dtypes, and an x64-enabled
         # process would promote a bare Python int to int64.
         j_sb = jax.lax.rem(i_sb + 1 + dd, jnp.int32(nb))
-        if variant == "turbo2":
+        if variant in ("turbo2", "mxu"):
             dx = xjT[0:1, :] - xi[:, 0:1]
             dy = xjT[1:2, :] - xi[:, 1:2]
             dz = xjT[2:3, :] - xi[:, 2:3]
             d2 = dx * dx + dy * dy + dz * dz + eps2
-            ib = jax.lax.rsqrt(d2 * d2 * d2).astype(jnp.bfloat16)
-            acc_i_ref[:] += _accum_i_turbo2(
-                ib, xi, pos_j_ref[:], mass_col_j_ref[:], block_u)
-            _scatter_add(acc_jT_ref, j_sb, _accum_j_turbo2(
-                ib, xi, mass_col_ref[:], xjT, block_i))
+            inv = jax.lax.rsqrt(d2 * d2 * d2)
+            if variant == "turbo2":
+                ib = inv.astype(jnp.bfloat16)
+                acc_i_ref[:] += _accum_i_turbo2(
+                    ib, xi, pos_j_ref[:], mass_col_j_ref[:], block_u)
+                _scatter_add(acc_jT_ref, j_sb, _accum_j_turbo2(
+                    ib, xi, mass_col_ref[:], xjT, block_i))
+            else:
+                ai, aj = _accum_both_mxu(
+                    inv, xi, xjT, mass_col_ref[:], pos_j_ref[:],
+                    mass_col_j_ref[:], block_i, block_u)
+                acc_i_ref[:] += ai
+                _scatter_add(acc_jT_ref, j_sb, aj)
             return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
@@ -259,6 +293,7 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
                  None, acc_i_ref, acc_jT_ref)
         return kernel
 
+    # turbo2 / mxu share the mass-folded-pack operand signature.
     def kernel(pos_i_ref, mass_col_ref, posT_ref, pos_j_ref, mass_col_j_ref,
                acc_i_ref, acc_jT_ref):
         body(pos_i_ref, mass_col_ref, posT_ref, None, pos_j_ref,
@@ -287,16 +322,24 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
 
         xi = pos_a_ref[:]
         xjT = posT_b_ref[:]
-        if variant == "turbo2":
+        if variant in ("turbo2", "mxu"):
             dx = xjT[0:1, :] - xi[:, 0:1]
             dy = xjT[1:2, :] - xi[:, 1:2]
             dz = xjT[2:3, :] - xi[:, 2:3]
             d2 = dx * dx + dy * dy + dz * dz + eps2
-            ib = jax.lax.rsqrt(d2 * d2 * d2).astype(jnp.bfloat16)
-            acc_a_ref[:] += _accum_i_turbo2(
-                ib, xi, pos_b_ref[:], mass_col_b_ref[:], block_u)
-            _scatter_add(acc_bT_ref, jb, _accum_j_turbo2(
-                ib, xi, mass_col_ref[:], xjT, block_i))
+            inv = jax.lax.rsqrt(d2 * d2 * d2)
+            if variant == "turbo2":
+                ib = inv.astype(jnp.bfloat16)
+                acc_a_ref[:] += _accum_i_turbo2(
+                    ib, xi, pos_b_ref[:], mass_col_b_ref[:], block_u)
+                _scatter_add(acc_bT_ref, jb, _accum_j_turbo2(
+                    ib, xi, mass_col_ref[:], xjT, block_i))
+            else:
+                ai, aj = _accum_both_mxu(
+                    inv, xi, xjT, mass_col_ref[:], pos_b_ref[:],
+                    mass_col_b_ref[:], block_i, block_u)
+                acc_a_ref[:] += ai
+                _scatter_add(acc_bT_ref, jb, aj)
             return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
@@ -321,6 +364,7 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
                  pos_b_ref, None, acc_a_ref, acc_bT_ref)
         return kernel
 
+    # turbo2 / mxu share the mass-folded-pack operand signature.
     def kernel(pos_a_ref, mass_col_ref, posT_b_ref, pos_b_ref,
                mass_col_b_ref, acc_a_ref, acc_bT_ref):
         body(pos_a_ref, mass_col_ref, posT_b_ref, None, pos_b_ref,
@@ -379,19 +423,19 @@ def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
                      memory_space=pltpu.VMEM),
     ]
     operands = [pos_p, mass_col_p, posT_p]
-    if variant != "turbo2":
+    if variant not in ("turbo2", "mxu"):
         in_specs.append(
             pl.BlockSpec((1, block_u),
                          lambda I, si, dd, _nb=nb: (0, (I + 1 + dd) % _nb),
                          memory_space=pltpu.VMEM))
         operands.append(mass_row_p)
-    if variant in ("turbo", "turbo2"):
+    if variant in ("turbo", "turbo2", "mxu"):
         in_specs.append(
             pl.BlockSpec((block_u, 3),
                          lambda I, si, dd, _nb=nb: ((I + 1 + dd) % _nb, 0),
                          memory_space=pltpu.VMEM))
         operands.append(pos_p)
-    if variant == "turbo2":
+    if variant in ("turbo2", "mxu"):
         in_specs.append(
             pl.BlockSpec((block_u, 1),
                          lambda I, si, dd, _nb=nb: ((I + 1 + dd) % _nb, 0),
@@ -437,17 +481,17 @@ def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, mass_col_b, *,
                      memory_space=pltpu.VMEM),
     ]
     operands = [pos_a, mass_col_a, posT_b]
-    if variant != "turbo2":
+    if variant not in ("turbo2", "mxu"):
         in_specs.append(
             pl.BlockSpec((1, block_u), lambda ia, jb: (0, jb),
                          memory_space=pltpu.VMEM))
         operands.append(mass_row_b)
-    if variant in ("turbo", "turbo2"):
+    if variant in ("turbo", "turbo2", "mxu"):
         in_specs.append(
             pl.BlockSpec((block_u, 3), lambda ia, jb: (jb, 0),
                          memory_space=pltpu.VMEM))
         operands.append(pos_b)
-    if variant == "turbo2":
+    if variant in ("turbo2", "mxu"):
         in_specs.append(
             pl.BlockSpec((block_u, 1), lambda ia, jb: (jb, 0),
                          memory_space=pltpu.VMEM))

@@ -39,7 +39,7 @@ _RECT_VARIANTS = {"pallas": "vpu", "pallas_sym": "vpu",
                   "pallas_kahan": "vpu_kahan",
                   "pallas_mxu": "mxu", "pallas_fast": "fast",
                   "pallas_turbo": "turbo", "pallas_sym_turbo": "turbo",
-                  "pallas_sym_turbo2": "turbo"}
+                  "pallas_sym_turbo2": "turbo", "pallas_sym_mxu": "mxu"}
 
 
 def _local_rect_forces(pos_i, pos_j, mass_j, cfg: SimConfig, impl: str,

@@ -84,6 +84,13 @@ def test_auto_impl_routes_non_f32_to_xla():
         == "xla_nxn"
 
 
+def test_auto_impl_prefers_sym_on_tpu(monkeypatch):
+    import jax
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_impl(SimConfig(n_bodies=65536)) == "pallas_sym"
+    assert resolve_impl(SimConfig(n_bodies=8192)) == "pallas"
+
+
 def test_pallas_rejects_non_f32():
     cfg = SimConfig(n_bodies=128, dtype="bfloat16")
     state = init_state(cfg)

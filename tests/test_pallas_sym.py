@@ -54,6 +54,22 @@ def test_sym_turbo_loose_tier():
     assert relative_mismatch(acc, ref, 0.01, 1e-4).mean() < 0.1
 
 
+@pytest.mark.parametrize("variant,p99_bound,badfrac_bound", [
+    ("turbo2", 5e-2, 0.1),     # loose tier (bf16 inv)
+    ("mxu", 5e-3, 5e-3),       # near-exact tier (hi/lo-split inv)
+])
+def test_sym_mxu_tiers(variant, p99_bound, badfrac_bound):
+    n = 2048
+    pos, _, mass = make_small_system(n, seed=37)
+    acc = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=128, block_u=256,
+        variant=variant))
+    ref = oracle_forces(pos, mass, EPS2)
+    err = np.abs(acc - ref) / (np.abs(ref) + 1e-30)
+    assert np.percentile(err, 99) < p99_bound
+    assert relative_mismatch(acc, ref, 0.01, 1e-4).mean() < badfrac_bound
+
+
 def test_sym_cross_checks_one_sided_pallas():
     """Two structurally different device kernels agree (the reference's
     two-kernel-family cross-check, SURVEY.md section 4)."""
