@@ -122,6 +122,44 @@ void nbody_run_f64(double* pos, double* vel, double* acc, const double* mass,
   }
 }
 
+// Kick-drift-kick leapfrog runs (the KDK twin of ops/step.py's kdk path;
+// acc must hold a(x_0) on entry — pass a zero buffer and the priming force
+// evaluation is done here).
+void nbody_run_kdk_f32(float* pos, float* vel, float* acc, const float* mass,
+                       int64_t n, float eps2, float dt, int64_t steps) {
+  nbody_forces_f32(pos, mass, n, eps2, acc);
+  for (int64_t s = 0; s < steps; ++s) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < 3 * n; ++i) {
+      vel[i] += 0.5f * dt * acc[i];   // half kick with a(x_n)
+      pos[i] += dt * vel[i];          // drift
+    }
+    nbody_forces_f32(pos, mass, n, eps2, acc);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < 3 * n; ++i) {
+      vel[i] += 0.5f * dt * acc[i];   // half kick with a(x_{n+1})
+    }
+  }
+}
+
+void nbody_run_kdk_f64(double* pos, double* vel, double* acc,
+                       const double* mass, int64_t n, double eps2, double dt,
+                       int64_t steps) {
+  nbody_forces_f64(pos, mass, n, eps2, acc);
+  for (int64_t s = 0; s < steps; ++s) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < 3 * n; ++i) {
+      vel[i] += 0.5 * dt * acc[i];
+      pos[i] += dt * vel[i];
+    }
+    nbody_forces_f64(pos, mass, n, eps2, acc);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < 3 * n; ++i) {
+      vel[i] += 0.5 * dt * acc[i];
+    }
+  }
+}
+
 int nbody_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

@@ -233,21 +233,18 @@ def cmd_validate(args) -> int:
 
     dev = run_steps(state, cfg, args.steps)
     dtype = np.float32 if args.oracle_f32 else np.float64
-    use_native = args.oracle == "native"
-    if use_native and cfg.integrator != "reference":
-        print("native oracle implements the reference integrator only; "
-              "using numpy oracle for --integrator kdk", file=sys.stderr)
-        use_native = False
-    if use_native:
+    if args.oracle == "native":
         from .oracle.native import available, native_run
         if not available():
             print("native oracle unavailable (build native/ with make); "
                   "falling back to numpy")
             opos, ovel, oacc = oracle_run(pos0, vel0, mass, cfg.eps2,
-                                          cfg.dt, args.steps, dtype=dtype)
+                                          cfg.dt, args.steps, dtype=dtype,
+                                          integrator=cfg.integrator)
         else:
             opos, ovel, oacc = native_run(pos0, vel0, mass, cfg.eps2,
-                                          cfg.dt, args.steps, dtype=dtype)
+                                          cfg.dt, args.steps, dtype=dtype,
+                                          integrator=cfg.integrator)
     else:
         opos, ovel, oacc = oracle_run(pos0, vel0, mass, cfg.eps2, cfg.dt,
                                       args.steps, dtype=dtype,

@@ -53,6 +53,9 @@ def _load() -> "Optional[ctypes.CDLL]":
                                   ctypes.c_float, ctypes.c_float, i64]
     lib.nbody_run_f64.argtypes = [f64p, f64p, f64p, f64p, i64,
                                   ctypes.c_double, ctypes.c_double, i64]
+    if hasattr(lib, "nbody_run_kdk_f32"):   # older prebuilt .so lacks KDK
+        lib.nbody_run_kdk_f32.argtypes = lib.nbody_run_f32.argtypes
+        lib.nbody_run_kdk_f64.argtypes = lib.nbody_run_f64.argtypes
     lib.nbody_num_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -96,12 +99,20 @@ def native_forces(pos: np.ndarray, mass: np.ndarray, eps2: float,
 
 def native_run(pos: np.ndarray, vel: np.ndarray, mass: np.ndarray,
                eps2: float, dt: float, steps: int,
-               dtype=np.float64) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+               dtype=np.float64, integrator: str = "reference"
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Lock-step multi-step oracle run, entirely native.
+    ``integrator``: "reference" (fused half-kick+drift, validation.cpp
+    semantics) or "kdk" (leapfrog twin of ops/step.py's kdk path).
     Returns (pos, vel, acc)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native oracle library unavailable")
+    if integrator not in ("reference", "kdk"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if integrator == "kdk" and not hasattr(lib, "nbody_run_kdk_f64"):
+        raise RuntimeError("native library predates KDK; rebuild with "
+                           "make -C native")
     dtype = np.dtype(dtype)
     pos = np.ascontiguousarray(pos, dtype=dtype).copy()
     vel = np.ascontiguousarray(vel, dtype=dtype).copy()
@@ -109,13 +120,17 @@ def native_run(pos: np.ndarray, vel: np.ndarray, mass: np.ndarray,
     acc = np.zeros_like(pos)
     n = pos.shape[0]
     if dtype == np.float32:
-        lib.nbody_run_f32(_ptr(pos, ctypes.c_float), _ptr(vel, ctypes.c_float),
-                          _ptr(acc, ctypes.c_float), _ptr(mass, ctypes.c_float),
-                          n, ctypes.c_float(eps2), ctypes.c_float(dt), steps)
+        fn = (lib.nbody_run_kdk_f32 if integrator == "kdk"
+              else lib.nbody_run_f32)
+        fn(_ptr(pos, ctypes.c_float), _ptr(vel, ctypes.c_float),
+           _ptr(acc, ctypes.c_float), _ptr(mass, ctypes.c_float),
+           n, ctypes.c_float(eps2), ctypes.c_float(dt), steps)
     else:
-        lib.nbody_run_f64(_ptr(pos, ctypes.c_double),
-                          _ptr(vel, ctypes.c_double),
-                          _ptr(acc, ctypes.c_double),
-                          _ptr(mass, ctypes.c_double),
-                          n, ctypes.c_double(eps2), ctypes.c_double(dt), steps)
+        fn = (lib.nbody_run_kdk_f64 if integrator == "kdk"
+              else lib.nbody_run_f64)
+        fn(_ptr(pos, ctypes.c_double),
+           _ptr(vel, ctypes.c_double),
+           _ptr(acc, ctypes.c_double),
+           _ptr(mass, ctypes.c_double),
+           n, ctypes.c_double(eps2), ctypes.c_double(dt), steps)
     return pos, vel, acc

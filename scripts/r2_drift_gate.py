@@ -67,9 +67,10 @@ def oracle_energy(pos0, vel0, mass, dt, steps, integrator):
     from nbody_tpu.models.energy import energy_f64
     from nbody_tpu.models.state import SimState
     from nbody_tpu.oracle import native
-    if integrator == "reference" and native.available():
+    if native.available():
         opos, ovel, _ = native.native_run(pos0, vel0, mass, 0.002, dt,
-                                          steps, dtype=np.float64)
+                                          steps, dtype=np.float64,
+                                          integrator=integrator)
     else:
         from nbody_tpu.oracle.numpy_oracle import oracle_run
         opos, ovel, _ = oracle_run(pos0, vel0, mass, 0.002, dt, steps,

@@ -30,7 +30,7 @@ def bench(n, impl, bi, bu, pnb, steps, warmup=2, trials=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stages", default="perf,abl,fps")
+    ap.add_argument("--stages", default="perf,abl,fps,big")
     args = ap.parse_args()
     stages = set(args.stages.split(","))
 
@@ -42,12 +42,29 @@ def main():
                 (65536, "pallas_sym", 512, 1024, None, 20),
                 (65536, "pallas_sym_turbo", 512, 1024, None, 20),
                 (65536, "pallas_sym_turbo2", 512, 1024, None, 20),
+                (65536, "pallas_sym_mxu", 512, 1024, None, 20),
                 (1 << 20, "pallas_sym_turbo2", 512, 1024, 127, 3),
+                (1 << 20, "pallas_sym_mxu", 512, 1024, 127, 3),
                 (1 << 20, "pallas_sym", 512, 1024, 115, 3)]:
             try:
                 bench(n, impl, bi, bu, pnb, steps)
             except Exception:
                 log(f"[perf] {impl} n={n} FAILED:\n{traceback.format_exc()}")
+
+    if "big" in stages:
+        # Scale rows: 2M exact+turbo, and the 4M single-chip attempt that
+        # round 1 could not fit under the relay's single-program limit
+        # (98 s one-sided step; the sym kernels roughly halve that).
+        for n, impl, steps, warm, trials in [
+                (1 << 21, "pallas_sym", 2, 1, 2),
+                (1 << 21, "pallas_sym_turbo", 2, 1, 2),
+                (1 << 22, "pallas_sym_turbo", 1, 1, 1),
+                (1 << 22, "pallas_sym", 1, 1, 1)]:
+            try:
+                bench(n, impl, 512, 1024, 127, steps, warmup=warm,
+                      trials=trials)
+            except Exception:
+                log(f"[big] {impl} n={n} FAILED:\n{traceback.format_exc()}")
 
     if "abl" in stages:
         # Fixed-slot scatter vs dynamic-slot scatter, bench harness.

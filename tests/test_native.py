@@ -42,6 +42,18 @@ def test_native_run_matches_numpy():
     np.testing.assert_allclose(nacc, oacc, rtol=1e-10, atol=1e-12)
 
 
+def test_native_kdk_matches_numpy():
+    """Native KDK leapfrog twin (drift-gate oracle for --integrator kdk)."""
+    pos, vel, mass = make_small_system(128, seed=43)
+    npos, nvel, nacc = native.native_run(pos, vel, mass, EPS2, DT, 10,
+                                         integrator="kdk")
+    opos, ovel, oacc = oracle_run(pos, vel, mass, EPS2, DT, 10,
+                                  integrator="kdk")
+    np.testing.assert_allclose(npos, opos, rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(nvel, ovel, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(nacc, oacc, rtol=1e-10, atol=1e-12)
+
+
 def test_native_threads():
     assert native.num_threads() >= 1
 
