@@ -44,7 +44,10 @@ def rec(out, **kw):
     log("[row] " + json.dumps(kw))
 
 
-def device_run(n, dt, steps, integrator, impl, dtype="float32", seed=0):
+def device_run(n, dt, steps, integrator, impl, dtype="float32", seed=0,
+               prog_chunk=100):
+    """Chunked into <=prog_chunk-step programs: the relay kills single
+    programs past ~60 s of kernel time (f64 XLA at 1k steps trips it)."""
     import jax.numpy as jnp
     from nbody_tpu import SimConfig, init_state, run_steps
     from nbody_tpu.models.energy import energy_f64
@@ -52,15 +55,21 @@ def device_run(n, dt, steps, integrator, impl, dtype="float32", seed=0):
     cfg = SimConfig(n_bodies=n, dt=dt, eps2=0.002, impl=impl, seed=seed,
                     integrator=integrator, dtype=dtype, block_i=256,
                     block_u=1024, chunk=2048)
-    state = init_state(cfg)
+    state0 = init_state(cfg)
     if integrator == "kdk":
-        state = prime_kdk(state, cfg)
-    e0 = energy_f64(state, cfg.eps2)
+        state0 = prime_kdk(state0, cfg)
+    e0 = energy_f64(state0, cfg.eps2)
     t0 = time.perf_counter()
-    out = run_steps(state, cfg, steps)
-    e1 = energy_f64(out, cfg.eps2)   # device_get inside forces completion
+    out = state0
+    done = 0
+    while done < steps:
+        k = min(prog_chunk, steps - done)
+        out = run_steps(out, cfg, k)
+        np.asarray(out.pos)          # force completion per program
+        done += k
+    e1 = energy_f64(out, cfg.eps2)
     wall = time.perf_counter() - t0
-    return state, out, e0, e1, wall
+    return state0, out, e0, e1, wall
 
 
 def oracle_energy(pos0, vel0, mass, dt, steps, integrator):
@@ -89,15 +98,17 @@ def main():
     ap.add_argument("--stages", default="ladder8k,control8k,confirm65k")
     ap.add_argument("--out", default="bench_results_r2.jsonl")
     ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--integrators", default="reference,kdk")
     args = ap.parse_args()
     stages = set(args.stages.split(","))
+    integrators = args.integrators.split(",")
     steps = args.steps
 
     import jax
     log(f"backend: {jax.default_backend()}")
 
     if "ladder8k" in stages:
-        for integ in ("reference", "kdk"):
+        for integ in integrators:
             for dt in (0.1, 0.01, 0.001):
                 s0, dev, e0, e1, wall = device_run(
                     8192, dt, steps, integ, "pallas_sym")
@@ -148,7 +159,8 @@ def main():
                 s32, d32, e0_32, e1_32, w32 = device_run(
                     65536, dt, steps, integ, "pallas_sym")
                 s64, d64, e0_64, e1_64, w64 = device_run(
-                    65536, dt, steps, integ, "xla", dtype="float64")
+                    65536, dt, steps, integ, "xla", dtype="float64",
+                    prog_chunk=10)
                 rec(args.out, stage="confirm65k", n=65536, dt=dt,
                     integrator=integ, steps=steps,
                     drift_f32_vs_f64dev=drift(e1_32, e1_64),
