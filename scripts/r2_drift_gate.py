@@ -45,14 +45,14 @@ def rec(out, **kw):
 
 
 def device_run(n, dt, steps, integrator, impl, dtype="float32", seed=0,
-               prog_chunk=100):
+               prog_chunk=100, eps2=0.002):
     """Chunked into <=prog_chunk-step programs: the relay kills single
     programs past ~60 s of kernel time (f64 XLA at 1k steps trips it)."""
     import jax.numpy as jnp
     from nbody_tpu import SimConfig, init_state, run_steps
     from nbody_tpu.models.energy import energy_f64
     from nbody_tpu.ops.step import prime_kdk
-    cfg = SimConfig(n_bodies=n, dt=dt, eps2=0.002, impl=impl, seed=seed,
+    cfg = SimConfig(n_bodies=n, dt=dt, eps2=eps2, impl=impl, seed=seed,
                     integrator=integrator, dtype=dtype, block_i=256,
                     block_u=1024, chunk=2048)
     state0 = init_state(cfg)
@@ -72,21 +72,21 @@ def device_run(n, dt, steps, integrator, impl, dtype="float32", seed=0,
     return state0, out, e0, e1, wall
 
 
-def oracle_energy(pos0, vel0, mass, dt, steps, integrator):
+def oracle_energy(pos0, vel0, mass, dt, steps, integrator, eps2=0.002):
     from nbody_tpu.models.energy import energy_f64
     from nbody_tpu.models.state import SimState
     from nbody_tpu.oracle import native
     if native.available():
-        opos, ovel, _ = native.native_run(pos0, vel0, mass, 0.002, dt,
+        opos, ovel, _ = native.native_run(pos0, vel0, mass, eps2, dt,
                                           steps, dtype=np.float64,
                                           integrator=integrator)
     else:
         from nbody_tpu.oracle.numpy_oracle import oracle_run
-        opos, ovel, _ = oracle_run(pos0, vel0, mass, 0.002, dt, steps,
+        opos, ovel, _ = oracle_run(pos0, vel0, mass, eps2, dt, steps,
                                    dtype=np.float64, integrator=integrator)
     st = SimState(pos=opos, vel=ovel, acc=np.zeros_like(opos), mass=mass)
     e0s = SimState(pos=pos0, vel=vel0, acc=np.zeros_like(opos), mass=mass)
-    return energy_f64(e0s, 0.002), energy_f64(st, 0.002)
+    return energy_f64(e0s, eps2), energy_f64(st, eps2)
 
 
 def drift(a, b):
@@ -151,6 +151,34 @@ def main():
                 dt=0.1, steps=steps,
                 drift_dev_vs_oracle=drift(e1, oe1),
                 conserve_dev=drift(e1, e0))
+
+    if "wellposed" in stages:
+        # The framework-exoneration control: at a well-posed softening
+        # (eps ~ spacing/3, where the 1e-3 gate is physically meaningful),
+        # f64 device vs f64 oracle isolates framework error from physics;
+        # fp32 pallas_sym then shows the fp32 penalty in the same regime.
+        eps2 = 1e7
+        jax.config.update("jax_enable_x64", True)
+        try:
+            s0, dev, e0, e1, wall = device_run(
+                8192, 0.1, steps, "reference", "xla", dtype="float64",
+                eps2=eps2)
+            oe0, oe1 = oracle_energy(
+                np.asarray(s0.pos), np.asarray(s0.vel), np.asarray(s0.mass),
+                0.1, steps, "reference", eps2=eps2)
+            rec(args.out, stage="wellposed_f64", n=8192, dt=0.1, eps2=eps2,
+                steps=steps, drift_dev_vs_oracle=drift(e1, oe1),
+                conserve_dev=drift(e1, e0), conserve_oracle=drift(oe1, oe0))
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        s0, dev, e0, e1, wall = device_run(
+            8192, 0.1, steps, "reference", "pallas_sym", eps2=eps2)
+        oe0, oe1 = oracle_energy(
+            np.asarray(s0.pos), np.asarray(s0.vel), np.asarray(s0.mass),
+            0.1, steps, "reference", eps2=eps2)
+        rec(args.out, stage="wellposed_f32_sym", n=8192, dt=0.1, eps2=eps2,
+            steps=steps, drift_dev_vs_oracle=drift(e1, oe1),
+            conserve_dev=drift(e1, e0), conserve_oracle=drift(oe1, oe0))
 
     if "confirm65k" in stages:
         jax.config.update("jax_enable_x64", True)
