@@ -129,8 +129,11 @@ class Simulation:
         cadences = [log_every if log_every > 0 else n_steps]
         if frame_streamer is not None and cfg.viz_every > 0:
             if batched_viz:
-                frame_bytes = cfg.viz_width * cfg.viz_height * 3
-                max_frames = max(1, (128 << 20) // frame_bytes)
+                # Packed maps are 1 byte/pixel; keep chunks small enough
+                # that frame transfers overlap the NEXT chunk's compute
+                # (only the final chunk's transfer is serial).
+                frame_bytes = cfg.viz_width * cfg.viz_height
+                max_frames = max(1, min(24, (32 << 20) // frame_bytes))
                 cadences.append(cfg.viz_every * max_frames)
             else:
                 cadences.append(cfg.viz_every)
@@ -151,6 +154,22 @@ class Simulation:
         done = 0
         frame_idx = 0
         first_chunk_s = 0.0
+        pending_frames = None   # device handle of the previous chunk's maps
+
+        def _drain_pending():
+            # Materialize + submit the previous chunk's frames.  Called
+            # right AFTER the next chunk is dispatched, so the device->host
+            # frame transfer overlaps that chunk's compute (the transfer,
+            # not the rasterizer, bounds fps through the relay).
+            nonlocal pending_frames, frame_idx
+            if pending_frames is None:
+                return
+            from ..viz.raster import colorize
+            for f in np.asarray(pending_frames):
+                frame_streamer.submit(frame_idx, colorize(f))
+                frame_idx += 1
+            pending_frames = None
+
         # Warm-up compile outside the timed region (first call compiles).
         while done < n_steps:
             todo = min(chunk, n_steps - done)
@@ -158,15 +177,15 @@ class Simulation:
             t0 = time.perf_counter() if first else 0.0
             if not first:
                 timer.start()
-            chunk_frames = None
             if batched_viz:
                 from ..ops.step import run_trajectory_frames
                 # packed=True ships 1-byte weight maps (the stream is
-                # device->host bandwidth-bound); colorized on submit below.
+                # device->host bandwidth-bound); colorized on submit.
                 self.state, frames = run_trajectory_frames(
                     self.state, cfg, todo, frame_every=cfg.viz_every,
-                    impl=self.impl, packed=True)
-                chunk_frames = np.asarray(frames)  # forces completion
+                    impl=self.impl, packed=True)   # async dispatch
+                _drain_pending()
+                pending_frames = frames
             else:
                 self._run_chunk(todo)
             sync(self.state.pos)
@@ -176,12 +195,6 @@ class Simulation:
                 first_chunk_s = time.perf_counter() - t0
             done += todo
             self.step_count += todo
-
-            if chunk_frames is not None:
-                from ..viz.raster import colorize
-                for f in chunk_frames:
-                    frame_streamer.submit(frame_idx, colorize(f))
-                    frame_idx += 1
 
             if nan_watchdog:
                 probe = np.asarray(self.state.pos[:1])
@@ -221,6 +234,8 @@ class Simulation:
                     steps_per_s=round(timer.steps_per_s, 3),
                     ginter_per_s=round(timer.ginter_per_s, 2),
                 )
+
+        _drain_pending()   # last chunk's frames
 
         if checkpoint_path and checkpoint_every <= 0:
             # A checkpoint path without a cadence means "save the end state".
