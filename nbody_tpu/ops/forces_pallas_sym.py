@@ -616,6 +616,78 @@ def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
     return jnp.concatenate(acc, axis=0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("eps2", "block_i", "block_u", "nb_b",
+                              "variant", "interpret"))
+def _rect_sym_padded(pos_a, mass_a, pos_b, mass_b, eps2, block_i, block_u,
+                     nb_b, variant, interpret):
+    mass_col_a = mass_a[:, None]
+    posT_b = pos_b.T
+    mass_row_b = mass_b[None, :]
+    mass_col_b = mass_b[:, None]
+    m = nb_b * block_u
+    panels = pos_b.shape[0] // m
+    acc_a = jnp.zeros_like(pos_a)
+    acc_b = []
+    for q in range(panels):
+        sl = slice(q * m, (q + 1) * m)
+        aa, abT = _rect_call(
+            pos_a, mass_col_a, posT_b[:, sl], mass_row_b[:, sl],
+            pos_b[sl], mass_col_b[sl], eps2=eps2, nb_b=nb_b,
+            block_i=block_i, block_u=block_u, variant=variant,
+            interpret=interpret)
+        acc_a = acc_a + aa
+        acc_b.append(_unscatter(abT))
+    return acc_a, jnp.concatenate(acc_b, axis=0)
+
+
+def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
+                    pos_b: jax.Array, mass_b: jax.Array, eps2: float,
+                    block_i: int = 512, block_u: int = 1024,
+                    panel_nb: "int | None" = None,
+                    variant: str = "vpu",
+                    interpret: "bool | None" = None):
+    """Two-sided rectangular sweep between two DISJOINT body sets.
+
+    Computes every (a, b) cross pair ONCE and returns ``(acc_a, acc_b)`` —
+    the acceleration contributions on the a-bodies from the b-bodies and
+    vice versa (Newton's third law: shared geometry, opposite signs, each
+    side weighted by the other's mass).  This is the per-rotation building
+    block of the multi-chip N3L ring (``parallel/ring.py``): neither the
+    reference (single-GPU, ``kernel.cu:99-114``) nor its tiling has a
+    cross-device analog.
+
+    Both sides pad independently with zero-mass ghosts (inert both ways:
+    m=0 kills a ghost's pull as a source AND its scatter as a receiver's
+    counterpart), so no masks are needed for ragged sizes.
+    """
+    if variant not in SYM_VARIANTS:
+        raise ValueError(
+            f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
+    na, nb_real = pos_a.shape[0], pos_b.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if panel_nb is None:
+        panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
+    nb_needed = -(-nb_real // block_u)
+    if nb_needed <= panel_nb:
+        nb_b, panels = nb_needed, 1
+    else:
+        panels = -(-nb_needed // panel_nb)
+        nb_b = -(-nb_needed // panels)
+    _validate_sym_blocks(block_i, block_u, nb_b)
+    na_pad = round_up(na, block_i)
+    nb_pad = panels * nb_b * block_u
+    pos_a_p = jnp.pad(pos_a, ((0, na_pad - na), (0, 0)))
+    mass_a_p = jnp.pad(mass_a, (0, na_pad - na))
+    pos_b_p = jnp.pad(pos_b, ((0, nb_pad - nb_real), (0, 0)))
+    mass_b_p = jnp.pad(mass_b, (0, nb_pad - nb_real))
+    acc_a, acc_b = _rect_sym_padded(
+        pos_a_p, mass_a_p, pos_b_p, mass_b_p, float(eps2), block_i,
+        block_u, nb_b, variant, interpret)
+    return acc_a[:na], acc_b[:nb_real]
+
+
 def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
                       block_i: int = 512, block_u: int = 1024,
                       panel_nb: "int | None" = None,

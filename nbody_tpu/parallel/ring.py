@@ -31,15 +31,20 @@ from ..ops.forces_xla import rect_forces
 from .mesh import SHARD_AXIS
 
 
-# impl -> one-sided rect kernel variant.  The pair-symmetric impls map to
-# their one-sided accuracy twins here: N3L across the ring would need the
-# j-side force contributions shipped BACK around the ring (doubling comm);
-# the local rect sweep stays one-sided, same physics and accuracy tier.
+# impl -> one-sided rect kernel variant (the allgather path, and the
+# antipodal step of the even-P sym ring).  The pair-symmetric impls map to
+# their one-sided accuracy twins where a one-sided sweep is required.
 _RECT_VARIANTS = {"pallas": "vpu", "pallas_sym": "vpu",
                   "pallas_kahan": "vpu_kahan",
                   "pallas_mxu": "mxu", "pallas_fast": "fast",
                   "pallas_turbo": "turbo", "pallas_sym_turbo": "turbo",
                   "pallas_sym_turbo2": "turbo", "pallas_sym_mxu": "mxu"}
+
+# impl -> pair-symmetric kernel variant: these route comm="ring" through
+# the N3L ring (ring_forces_local_sym), which computes every unordered
+# cross-shard pair ONCE.
+_SYM_VARIANTS = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
+                 "pallas_sym_turbo2": "turbo2", "pallas_sym_mxu": "mxu"}
 
 
 def _local_rect_forces(pos_i, pos_j, mass_j, cfg: SimConfig, impl: str,
@@ -98,6 +103,64 @@ def ring_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
     return acc
 
 
+def ring_forces_local_sym(pos_l, mass_l, cfg: SimConfig, impl: str,
+                          axis: str = SHARD_AXIS):
+    """Newton's-third-law ring: every unordered shard pair computed ONCE.
+
+    The one-sided ring (``ring_forces_local``) sweeps all P-1 rotations,
+    computing every cross-shard pair twice (once on each owner).  Here the
+    sweep stops HALFWAY: at rotation d the chip computes its i-shard
+    against the visiting shard *two-sided* (``rect_forces_sym``), keeping
+    the i-side locally and accumulating the j-side partial into a buffer
+    that TRAVELS with the visiting shard; after floor((P-1)/2) rotations
+    one final ``ppermute`` ships each travel buffer home.  For even P the
+    antipodal offset is its own mirror, so that single rotation runs
+    one-sided on both owners.
+
+    Cost per chip vs the one-sided ring: pair work HALVES; comm is
+    ~(P-1)/2 hops of (pos 12B + mass 4B + partial 12B) + one 12B return
+    hop = ~14(P-1)+12 B/body vs 16(P-1) B/body one-sided — slightly LESS
+    total bytes, in half as many (larger) messages.  The self-shard runs
+    the triangular pair-symmetric kernel locally.
+    """
+    from ..ops.forces_pallas_sym import forces_pallas_sym, rect_forces_sym
+    variant = _SYM_VARIANTS[impl]
+    p = jax.lax.axis_size(axis)
+    fwd = [(i, (i + 1) % p) for i in range(p)]
+    half = (p - 1) // 2
+
+    # Self shard: triangular N3L sweep of the chip's own bodies.
+    acc_i = forces_pallas_sym(
+        pos_l, mass_l, cfg.eps2, block_i=cfg.block_i, block_u=cfg.block_u,
+        panel_nb=cfg.panel_nb, variant=variant)
+
+    def body(_, carry):
+        acc_i, acc_t, pos_j, mass_j = carry
+        pos_j = jax.lax.ppermute(pos_j, axis, fwd)
+        mass_j = jax.lax.ppermute(mass_j, axis, fwd)
+        acc_t = jax.lax.ppermute(acc_t, axis, fwd)
+        aa, ab = rect_forces_sym(
+            pos_l, mass_l, pos_j, mass_j, cfg.eps2, block_i=cfg.block_i,
+            block_u=cfg.block_u, panel_nb=cfg.panel_nb, variant=variant)
+        return acc_i + aa, acc_t + ab, pos_j, mass_j
+
+    acc_t = jnp.zeros_like(pos_l)
+    acc_i, acc_t, pos_j, mass_j = jax.lax.fori_loop(
+        0, half, body, (acc_i, acc_t, pos_l, mass_l))
+
+    if p % 2 == 0:
+        # Antipodal rotation: self-mirrored, computed one-sided everywhere.
+        pos_j = jax.lax.ppermute(pos_j, axis, fwd)
+        mass_j = jax.lax.ppermute(mass_j, axis, fwd)
+        acc_i = acc_i + _local_rect_forces(pos_l, pos_j, mass_j, cfg, impl,
+                                           self_tile=False)
+
+    if half > 0:
+        back = [(i, (i - half) % p) for i in range(p)]
+        acc_i = acc_i + jax.lax.ppermute(acc_t, axis, back)
+    return acc_i
+
+
 def allgather_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
                            axis: str = SHARD_AXIS):
     """Ulysses-style alternative: all-gather the full j-side once, then one
@@ -121,7 +184,12 @@ def allgather_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
 
 def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
                        n_steps: int, impl: str, comm: str, axis: str):
-    force = ring_forces_local if comm == "ring" else allgather_forces_local
+    if comm == "ring" and impl in _SYM_VARIANTS:
+        force = ring_forces_local_sym
+    elif comm == "ring":
+        force = ring_forces_local
+    else:
+        force = allgather_forces_local
 
     if cfg.integrator == "kdk":
         # Kick-drift-kick, same scheme as ops.step.step: the first half-kick

@@ -94,6 +94,60 @@ def test_sym_momentum_closure():
     assert net.max() / scale < 1e-5
 
 
+@pytest.mark.parametrize("na,nb,bi,bu,pnb", [
+    (256, 256, 64, 128, None),    # equal sides, single b-panel
+    (300, 180, 64, 128, None),    # ragged both sides -> ghost padding
+    (128, 1500, 64, 128, 4),      # multi-panel b side (3 panels)
+])
+def test_rect_sym_matches_oracle(na, nb, bi, bu, pnb):
+    """Cross-pair rect sweep: acc_a/acc_b must equal the oracle's cross
+    contributions (full combined forces minus each side's self forces)."""
+    from nbody_tpu.ops.forces_pallas_sym import rect_forces_sym
+    pos, _, mass = make_small_system(na + nb, seed=41)
+    pa, pb = pos[:na], pos[na:]
+    ma, mb = mass[:na], mass[na:]
+    acc_a, acc_b = rect_forces_sym(
+        jnp.asarray(pa), jnp.asarray(ma), jnp.asarray(pb), jnp.asarray(mb),
+        EPS2, block_i=bi, block_u=bu, panel_nb=pnb, variant="vpu")
+    full = oracle_forces(pos, mass, EPS2)
+    cross_a = full[:na] - oracle_forces(pa, ma, EPS2)
+    cross_b = full[na:] - oracle_forces(pb, mb, EPS2)
+    assert_matches_oracle(np.asarray(acc_a), cross_a, "acc_a(rect-sym)",
+                          abs_tol=1e-4)
+    assert_matches_oracle(np.asarray(acc_b), cross_b, "acc_b(rect-sym)",
+                          abs_tol=1e-4)
+
+
+def test_rect_sym_turbo_loose_tier():
+    from nbody_tpu.ops.forces_pallas_sym import rect_forces_sym
+    na = nb = 512
+    pos, _, mass = make_small_system(na + nb, seed=42)
+    acc_a, acc_b = rect_forces_sym(
+        jnp.asarray(pos[:na]), jnp.asarray(mass[:na]),
+        jnp.asarray(pos[na:]), jnp.asarray(mass[na:]),
+        EPS2, block_i=64, block_u=128, variant="turbo")
+    full = oracle_forces(pos, mass, EPS2)
+    cross_a = full[:na] - oracle_forces(pos[:na], mass[:na], EPS2)
+    err = np.abs(np.asarray(acc_a) - cross_a) / (np.abs(cross_a) + 1e-30)
+    assert np.percentile(err, 99) < 5e-2
+
+
+def test_rect_sym_momentum_closure():
+    """N3L across two sets: m_a·acc_a sums to exactly minus m_b·acc_b up
+    to rounding (every cross pair contributes equal-and-opposite terms)."""
+    from nbody_tpu.ops.forces_pallas_sym import rect_forces_sym
+    pos, _, mass = make_small_system(700, seed=43)
+    na = 300
+    acc_a, acc_b = rect_forces_sym(
+        jnp.asarray(pos[:na]), jnp.asarray(mass[:na]),
+        jnp.asarray(pos[na:]), jnp.asarray(mass[na:]),
+        EPS2, block_i=64, block_u=128, variant="vpu")
+    pa = (mass[:na, None].astype(np.float64) * np.asarray(acc_a)).sum(axis=0)
+    pb = (mass[na:, None].astype(np.float64) * np.asarray(acc_b)).sum(axis=0)
+    scale = float((mass[:na, None] * np.abs(np.asarray(acc_a))).sum())
+    assert np.abs(pa + pb).max() / scale < 1e-5
+
+
 def test_panel_layout():
     # Single panel: nb forced odd.
     assert _panel_layout(65536, 1024, 128) == (65, 1)

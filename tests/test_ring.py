@@ -128,15 +128,66 @@ def test_sharded_masked_variants_interpret(impl, comm):
                               abs_tol=1e-4, max_frac_bad=2e-3)
 
 
-def test_sharded_sym_impl_maps_to_rect_twin():
-    """pallas_sym in the ring maps to its one-sided accuracy twin."""
+@pytest.mark.parametrize("p", [8, 5, 2, 1])
+def test_sym_ring_matches_oracle(p):
+    """The N3L ring (each unordered cross-shard pair computed ONCE, j-side
+    partials shipped home): exact tier vs the oracle.  p=8 exercises the
+    even-P antipodal one-sided step; p=5 the pure odd-P half sweep; p=2
+    antipodal-only; p=1 self-shard only."""
+    n, steps = 512, 3
+    state, pos, vel, mass = make_state(n, seed=27)
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=8, block_j=128,
+                    block_u=128)
+    mesh = make_mesh(p)
+    out = run_steps_sharded(state, cfg, mesh, steps, impl="pallas_sym",
+                            comm="ring")
+    rpos, _, racc = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps)
+    assert_matches_oracle(np.asarray(out.pos), rpos, f"pos(sym-ring p={p})",
+                          abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.acc), racc, f"acc(sym-ring p={p})",
+                          abs_tol=1e-4)
+
+
+def test_sym_ring_matches_single_device():
+    """Sharded N3L result == single-device pair-symmetric result (same
+    physics; summation grouping differs only within the fp32 contract)."""
+    n, steps = 512, 5
+    state, *_ = make_state(n, seed=28)
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=8, block_j=128,
+                    block_u=128)
+    out_sharded = run_steps_sharded(state, cfg, make_mesh(), steps,
+                                    impl="pallas_sym", comm="ring")
+    out_single = run_steps(state, cfg, steps, impl="pallas_sym")
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.pos), np.asarray(out_single.pos),
+        rtol=1e-4, atol=1.0)
+
+
+def test_sym_ring_turbo_tier():
+    """pallas_sym_turbo through the N3L ring: loose-tier gate."""
+    n, steps = 1024, 2
+    state, pos, vel, mass = make_state(n, seed=29)
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym_turbo", block_i=8,
+                    block_j=128, block_u=128)
+    mesh = make_mesh()
+    out = run_steps_sharded(state, cfg, mesh, steps, impl="pallas_sym_turbo",
+                            comm="ring")
+    _, _, racc = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps)
+    err = np.abs(np.asarray(out.acc) - racc) / (np.abs(racc) + 1e-30)
+    assert np.percentile(err, 99) < 5e-2
+    assert np.all(np.isfinite(np.asarray(out.pos)))
+
+
+def test_sym_allgather_maps_to_rect_twin():
+    """pallas_sym with comm='allgather' still maps to its one-sided twin."""
     n = 512
     state, pos, vel, mass = make_state(n, seed=27)
     cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=8, block_j=128)
     mesh = make_mesh()
-    out = run_steps_sharded(state, cfg, mesh, 2, impl="pallas_sym")
+    out = run_steps_sharded(state, cfg, mesh, 2, impl="pallas_sym",
+                            comm="allgather")
     rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 2)
-    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(sym-ring)",
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(sym-ag)",
                           abs_tol=1.0)
 
 
