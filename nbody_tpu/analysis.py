@@ -1,0 +1,175 @@
+"""Trajectory analysis utilities.
+
+The reference offers no post-hoc analysis at all — a run's physics dies
+with the GL window (``main.cpp:361-366``).  These diagnostics operate on
+the NPZ trajectory format (``io/checkpoint.py::save_trajectory``:
+position snapshots + per-body masses) and on full states, giving the
+rebuild a quantitative story for the same runs the reference can only
+display: cluster structure (Lagrangian radii, pair correlation),
+integration health (center-of-mass drift), and dynamical state (virial
+ratio).
+
+Conventions match the force/energy contract everywhere (G = 1, Plummer
+softening: pair potential ``-m_i m_j / sqrt(|r|^2 + eps2)``,
+``kernel.cu:9-29`` / ``models/energy.py``).  All computations are
+host-side float64 numpy — these are offline diagnostics, not hot-path
+device code, and f64 keeps them out of the noise they measure.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def center_of_mass(pos: np.ndarray, mass: np.ndarray) -> np.ndarray:
+    """Mass-weighted mean position, (3,) float64."""
+    pos = np.asarray(pos, dtype=np.float64)
+    mass = np.asarray(mass, dtype=np.float64)
+    return (mass[:, None] * pos).sum(axis=0) / mass.sum()
+
+
+def com_drift(snapshots: np.ndarray, mass: np.ndarray) -> np.ndarray:
+    """|COM(t) - COM(0)| per snapshot, (T,) float64.
+
+    With the reference's cold start (v=0) total momentum is exactly zero,
+    so any COM motion is integrator/rounding artifact — a cheap
+    whole-trajectory health metric.
+    """
+    snaps = np.asarray(snapshots, dtype=np.float64)
+    coms = np.stack([center_of_mass(s, mass) for s in snaps])
+    return np.linalg.norm(coms - coms[0], axis=1)
+
+
+def lagrangian_radii(pos: np.ndarray, mass: np.ndarray,
+                     fractions: Sequence[float] = (0.1, 0.5, 0.9),
+                     center: Optional[np.ndarray] = None) -> np.ndarray:
+    """Radii enclosing the given mass fractions (about the COM by default).
+
+    The 0.5 entry is the half-mass radius — the standard collapse /
+    expansion indicator for the cold uniform boxes the reference
+    initializes (``utils.cpp:23-47`` ranges).
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    mass = np.asarray(mass, dtype=np.float64)
+    c = center_of_mass(pos, mass) if center is None else np.asarray(center)
+    r = np.linalg.norm(pos - c, axis=1)
+    order = np.argsort(r)
+    cum = np.cumsum(mass[order])
+    total = cum[-1]
+    out = np.empty(len(fractions), dtype=np.float64)
+    for k, f in enumerate(fractions):
+        idx = int(np.searchsorted(cum, f * total))
+        out[k] = r[order[min(idx, len(r) - 1)]]
+    return out
+
+
+def pair_correlation(pos: np.ndarray, n_bins: int = 64,
+                     r_max: Optional[float] = None,
+                     chunk: int = 2048,
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Radial pair-correlation function g(r) of a finite cloud.
+
+    Normalization: the pair-distance histogram is divided by the expected
+    histogram of the SAME N bodies distributed uniformly in the sphere of
+    radius ``R`` that encloses them about the COM (computed analytically
+    from the uniform-sphere pair-distance density); g ~ 1 then means
+    "uniform", g > 1 clustering at that separation.  ``r_max`` defaults
+    to that enclosing radius.  O(N^2) pair distances, chunked to bound
+    the temporary at ~``chunk * N`` floats.
+
+    Returns ``(r_centers, g)``, each (n_bins,).
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    n = pos.shape[0]
+    if n < 2:
+        raise ValueError("pair_correlation needs at least 2 bodies")
+    c = pos.mean(axis=0)
+    radii = np.linalg.norm(pos - c, axis=1)
+    enclosing = float(radii.max()) or 1.0
+    if r_max is None:
+        r_max = enclosing
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    hist = np.zeros(n_bins, dtype=np.float64)
+    for s in range(0, n, chunk):
+        pc = pos[s:s + chunk]
+        d = np.linalg.norm(pos[None, :, :] - pc[:, None, :], axis=-1)
+        # Upper triangle only: each unordered pair once, no self-pairs.
+        jj = np.arange(n)[None, :]
+        ii = (s + np.arange(pc.shape[0]))[:, None]
+        d = d[jj > ii]
+        hist += np.histogram(d, bins=edges)[0]
+    # Uniform-sphere (radius R) pair-distance distribution: with x = s/R
+    # in [0, 2] the separation PDF is p(s) = (3 s^2 / R^3)(1 - 3s/(4R)
+    # + s^3/(16 R^3)), whose CDF is P(x) = x^3 (32 - 18x + x^3) / 32
+    # (P(2) = 1).
+    x = np.clip(edges / enclosing, 0.0, 2.0)
+    cdf = np.clip(x ** 3 * (32.0 - 18.0 * x + x ** 3) / 32.0, 0.0, 1.0)
+    n_pairs = n * (n - 1) / 2.0
+    expected = n_pairs * np.diff(cdf)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g = np.where(expected > 0, hist / expected, 0.0)
+    return centers, g
+
+
+def virial_ratio(pos: np.ndarray, vel: np.ndarray, mass: np.ndarray,
+                 eps2: float) -> float:
+    """Q = 2K / |W| with the softened potential (Q = 1 in virial
+    equilibrium; 0 for the reference's cold start)."""
+    vel = np.asarray(vel, dtype=np.float64)
+    mass = np.asarray(mass, dtype=np.float64)
+    ke = 0.5 * float(np.sum(mass * np.sum(vel * vel, axis=-1)))
+    w = _potential_f64(np.asarray(pos, dtype=np.float64), mass, eps2)
+    return 2.0 * ke / abs(w) if w else float("inf")
+
+
+def _potential_f64(pos: np.ndarray, mass: np.ndarray, eps2: float,
+                   chunk: int = 2048) -> float:
+    pe = 0.0
+    n = pos.shape[0]
+    for s in range(0, n, chunk):
+        pc = pos[s:s + chunk]
+        mc = mass[s:s + chunk]
+        r = pos[None, :, :] - pc[:, None, :]
+        d2 = np.sum(r * r, axis=-1) + eps2
+        inv = 1.0 / np.sqrt(d2)
+        pe += float(np.sum(mc[:, None] * mass[None, :] * inv))
+        pe -= float(np.sum(mc * mc)) / np.sqrt(eps2)   # self-pairs
+    return -0.5 * pe
+
+
+def analyze_trajectory(path: str, n_bins: int = 32,
+                       fractions: Sequence[float] = (0.1, 0.5, 0.9)) -> dict:
+    """Per-snapshot structure series from a saved trajectory NPZ.
+
+    Returns a dict with ``steps`` (snapshot step numbers), ``com_drift``,
+    ``lagrangian_radii`` (T, len(fractions)), and the first/last
+    snapshots' pair correlation (``g_r_first`` / ``g_r_last`` with
+    ``r_centers`` on a shared grid).
+    """
+    with np.load(path) as z:
+        snaps = np.asarray(z["snapshots"], dtype=np.float64)
+        snap_every = int(z["snap_every"])
+        if "mass" in z:
+            mass = np.asarray(z["mass"], dtype=np.float64)
+        else:   # legacy trajectory without masses: uniform weights
+            mass = np.ones(snaps.shape[1], dtype=np.float64)
+    t = snaps.shape[0]
+    lr = np.stack([lagrangian_radii(snaps[k], mass, fractions)
+                   for k in range(t)])
+    # Shared r grid across first/last so the two curves are comparable.
+    c0 = snaps[0].mean(axis=0)
+    r_max = float(np.linalg.norm(snaps[0] - c0, axis=1).max())
+    r_centers, g_first = pair_correlation(snaps[0], n_bins, r_max=r_max)
+    _, g_last = pair_correlation(snaps[-1], n_bins, r_max=r_max)
+    return {
+        "steps": [(k + 1) * snap_every for k in range(t)],
+        "fractions": list(fractions),
+        "com_drift": com_drift(snaps, mass).tolist(),
+        "lagrangian_radii": lr.tolist(),
+        "r_centers": r_centers.tolist(),
+        "g_r_first": g_first.tolist(),
+        "g_r_last": g_last.tolist(),
+    }

@@ -479,6 +479,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional["list[str]"] = None) -> int:
     args = build_parser().parse_args(argv)
+    # Persistent XLA compilation cache: fresh Pallas builds on the remote
+    # chip cost minutes; cached reloads cost seconds (NBODY_COMPCACHE=off
+    # to disable).
+    from .utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
     return args.fn(args)
 
 
