@@ -72,12 +72,15 @@ def pair_correlation(pos: np.ndarray, n_bins: int = 64,
     """Radial pair-correlation function g(r) of a finite cloud.
 
     Normalization: the pair-distance histogram is divided by the expected
-    histogram of the SAME N bodies distributed uniformly in the sphere of
-    radius ``R`` that encloses them about the COM (computed analytically
-    from the uniform-sphere pair-distance density); g ~ 1 then means
-    "uniform", g > 1 clustering at that separation.  ``r_max`` defaults
-    to that enclosing radius.  O(N^2) pair distances, chunked to bound
-    the temporary at ~``chunk * N`` floats.
+    histogram of bodies distributed uniformly in the enclosing sphere
+    (computed analytically from the uniform-sphere pair-distance
+    density), then rescaled so both histograms carry the same total pair
+    count within ``r_max`` — making g a *shape* diagnostic that is
+    insensitive to the enclosing-radius estimate (the sample max radius
+    is biased by the COM offset).  g ~ 1 then means "uniform"; g > 1,
+    clustering at that separation.  ``r_max`` defaults to the enclosing
+    radius.  O(N^2) pair distances, chunked to bound the temporary at
+    ~``chunk * N`` floats.
 
     Returns ``(r_centers, g)``, each (n_bins,).
     """
@@ -106,8 +109,9 @@ def pair_correlation(pos: np.ndarray, n_bins: int = 64,
     # (P(2) = 1).
     x = np.clip(edges / enclosing, 0.0, 2.0)
     cdf = np.clip(x ** 3 * (32.0 - 18.0 * x + x ** 3) / 32.0, 0.0, 1.0)
-    n_pairs = n * (n - 1) / 2.0
-    expected = n_pairs * np.diff(cdf)
+    expected = np.diff(cdf)
+    if expected.sum() > 0:
+        expected *= hist.sum() / expected.sum()
     centers = 0.5 * (edges[:-1] + edges[1:])
     with np.errstate(divide="ignore", invalid="ignore"):
         g = np.where(expected > 0, hist / expected, 0.0)
@@ -134,9 +138,13 @@ def _potential_f64(pos: np.ndarray, mass: np.ndarray, eps2: float,
         mc = mass[s:s + chunk]
         r = pos[None, :, :] - pc[:, None, :]
         d2 = np.sum(r * r, axis=-1) + eps2
-        inv = 1.0 / np.sqrt(d2)
+        with np.errstate(divide="ignore"):
+            inv = 1.0 / np.sqrt(d2)
+        # Mask self-pairs in place (works at eps2 = 0 too, where the
+        # subtract-after trick would hit 1/0).
+        rows = np.arange(pc.shape[0])
+        inv[rows, s + rows] = 0.0
         pe += float(np.sum(mc[:, None] * mass[None, :] * inv))
-        pe -= float(np.sum(mc * mc)) / np.sqrt(eps2)   # self-pairs
     return -0.5 * pe
 
 

@@ -389,6 +389,32 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    from .analysis import analyze_trajectory
+    res = analyze_trajectory(args.trajectory, n_bins=args.bins)
+    if args.json:
+        print(json.dumps(res))
+        return 0
+    steps = res["steps"]
+    drift = res["com_drift"]
+    lr = res["lagrangian_radii"]
+    fracs = res["fractions"]
+    hdr = "  ".join(f"r{int(f * 100):02d}%" for f in fracs)
+    print(f"== trajectory analysis: {args.trajectory} "
+          f"({len(steps)} snapshots) ==")
+    print(f"{'step':>8}  {'com_drift':>12}  {hdr}")
+    for k in range(len(steps)):
+        radii = "  ".join(f"{r:11.4g}" for r in lr[k])
+        print(f"{steps[k]:>8}  {drift[k]:>12.4g}  {radii}")
+    g0 = np.asarray(res["g_r_first"])
+    g1 = np.asarray(res["g_r_last"])
+    mid = slice(len(g0) // 8, len(g0) // 2)
+    print(f"pair correlation g(r), mid-range mean: "
+          f"first={g0[mid].mean():.3f} last={g1[mid].mean():.3f} "
+          f"(1 = uniform; >1 = clustered)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="nbody",
@@ -474,6 +500,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="additionally assemble frames into an animated GIF")
     rp.add_argument("--gif-delay-cs", type=int, default=4)
     rp.set_defaults(fn=cmd_render)
+
+    anp = sub.add_parser(
+        "analyze",
+        help="structure/health diagnostics from a saved trajectory "
+             "(COM drift, Lagrangian radii, pair correlation)")
+    anp.add_argument("trajectory")
+    anp.add_argument("--bins", type=int, default=32)
+    anp.add_argument("--json", action="store_true",
+                     help="emit the full series as one JSON object")
+    anp.set_defaults(fn=cmd_analyze)
     return ap
 
 

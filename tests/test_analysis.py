@@ -1,0 +1,122 @@
+"""Trajectory analysis utilities (nbody_tpu/analysis.py).
+
+The reference has no post-hoc analysis (outputs die with the GL window,
+main.cpp:361-366); these diagnostics are gated against analytic
+expectations: uniform-sphere g(r) ~ 1, uniform-sphere Lagrangian radii
+~ f^(1/3) R, exact COM arithmetic, and a hand-computed two-body virial
+ratio.
+"""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.analysis import (
+    analyze_trajectory, center_of_mass, com_drift, lagrangian_radii,
+    pair_correlation, virial_ratio)
+
+
+def uniform_sphere(n, radius=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    r = radius * rng.uniform(0, 1, n) ** (1 / 3)
+    return v * r[:, None]
+
+
+def test_center_of_mass_weights():
+    pos = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    mass = np.array([1.0, 3.0])
+    np.testing.assert_allclose(center_of_mass(pos, mass), [0.75, 0, 0])
+
+
+def test_com_drift_zero_for_static_and_tracks_shift():
+    pos = uniform_sphere(256, seed=1)
+    mass = np.ones(256)
+    snaps = np.stack([pos, pos, pos + np.array([2.0, 0, 0])])
+    d = com_drift(snaps, mass)
+    np.testing.assert_allclose(d[:2], 0.0, atol=1e-12)
+    np.testing.assert_allclose(d[2], 2.0, rtol=1e-10)
+
+
+def test_lagrangian_radii_uniform_sphere():
+    """Enclosed mass of a uniform sphere: M(r)/M = (r/R)^3, so the
+    f-fraction radius is f^(1/3) R."""
+    pos = uniform_sphere(20000, radius=2.0, seed=2)
+    mass = np.ones(20000)
+    r = lagrangian_radii(pos, mass, (0.1, 0.5, 0.9))
+    expect = 2.0 * np.array([0.1, 0.5, 0.9]) ** (1 / 3)
+    np.testing.assert_allclose(r, expect, rtol=0.03)
+
+
+def test_lagrangian_radii_ordering():
+    pos = uniform_sphere(512, seed=3)
+    mass = np.ones(512)
+    r = lagrangian_radii(pos, mass, (0.1, 0.5, 0.9))
+    assert r[0] < r[1] < r[2]
+
+
+def test_pair_correlation_uniform_is_flat():
+    """g(r) ~ 1 for a uniform sphere (the normalization's own null case);
+    the innermost bins are noisy (few pairs), so gate the mid-range."""
+    pos = uniform_sphere(4000, radius=1.0, seed=4)
+    r, g = pair_correlation(pos, n_bins=32, chunk=1024)
+    mid = g[4:16]
+    assert np.all(np.isfinite(g))
+    np.testing.assert_allclose(mid.mean(), 1.0, atol=0.05)
+    assert mid.std() < 0.1
+
+
+def test_pair_correlation_detects_clustering():
+    """Two well-separated clumps: g at small r far exceeds 1."""
+    a = uniform_sphere(500, radius=0.05, seed=5)
+    b = uniform_sphere(500, radius=0.05, seed=6) + np.array([2.0, 0, 0])
+    pos = np.concatenate([a, b])
+    r, g = pair_correlation(pos, n_bins=32)
+    assert g[:4].max() > 5.0
+
+
+def test_virial_ratio_cold_start_and_two_body():
+    """Cold start: Q = 0.  Two unit masses at separation d with speeds v
+    each: Q = 2K/|W| = 2*(2*0.5*v^2) / (1/sqrt(d^2+eps2))."""
+    pos = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    mass = np.array([1.0, 1.0])
+    assert virial_ratio(pos, np.zeros((2, 3)), mass, 0.0) == 0.0
+    vel = np.array([[0.0, 0.5, 0], [0.0, -0.5, 0]])
+    q = virial_ratio(pos, vel, mass, 0.0)
+    # K = 2 * 0.5 * 1 * 0.25 = 0.25; |W| = 1*1/1 = 1; Q = 0.5
+    np.testing.assert_allclose(q, 0.5, rtol=1e-12)
+
+
+def test_analyze_trajectory_roundtrip(tmp_path):
+    """End-to-end: save a trajectory NPZ, analyze it, check the series
+    shapes and that a collapsing rescale shows shrinking radii."""
+    from nbody_tpu.io.checkpoint import save_trajectory
+    n, t = 512, 4
+    base = uniform_sphere(n, radius=10.0, seed=7).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    snaps = np.stack([base * (1.0 - 0.2 * k) for k in range(t)])
+    path = str(tmp_path / "traj.npz")
+    save_trajectory(path, snaps, snap_every=5, mass=mass)
+    res = analyze_trajectory(path, n_bins=16)
+    assert res["steps"] == [5, 10, 15, 20]
+    lr = np.asarray(res["lagrangian_radii"])
+    assert lr.shape == (t, 3)
+    assert np.all(np.diff(lr[:, 1]) < 0)   # half-mass radius shrinks
+    assert len(res["g_r_first"]) == 16
+
+
+def test_analyze_cli(tmp_path, capsys):
+    from nbody_tpu.cli import main
+    from nbody_tpu.io.checkpoint import save_trajectory
+    import json as _json
+    n = 256
+    base = uniform_sphere(n, radius=5.0, seed=8).astype(np.float32)
+    snaps = np.stack([base, base * 0.9])
+    path = str(tmp_path / "traj.npz")
+    save_trajectory(path, snaps, snap_every=2, mass=np.ones(n, np.float32))
+    assert main(["analyze", path]) == 0
+    out = capsys.readouterr().out
+    assert "trajectory analysis" in out and "pair correlation" in out
+    assert main(["analyze", path, "--json"]) == 0
+    res = _json.loads(capsys.readouterr().out)
+    assert res["steps"] == [2, 4]
