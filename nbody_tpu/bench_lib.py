@@ -33,7 +33,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
                   energy: bool = False, warmup_steps: int = 3,
                   seed: int = 0, trials: int = 2,
                   panel_nb: Optional[int] = None,
-                  block_u: int = 1024) -> dict:
+                  block_u: Optional[int] = None) -> dict:
     from .utils.compcache import enable_compilation_cache
     enable_compilation_cache()
     cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,

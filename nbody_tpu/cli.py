@@ -64,7 +64,8 @@ def _add_sim_args(p: argparse.ArgumentParser):
                    choices=["auto", "xla", "xla_nxn", "pallas",
                             "pallas_kahan", "pallas_mxu", "pallas_fast",
                             "pallas_turbo", "pallas_sym",
-                            "pallas_sym_turbo"],
+                            "pallas_sym_turbo", "pallas_sym_turbo2",
+                            "pallas_sym_mxu"],
                    help="force backend (reference kernel-type prompt)")
     p.add_argument("--integrator", default="reference", action=_TrackedStore,
                    choices=["reference", "kdk"])
@@ -82,7 +83,7 @@ def _add_sim_args(p: argparse.ArgumentParser):
                         "(xla backends only), float32 matches the reference")
     p.add_argument("--block-i", type=int, default=512, action=_TrackedStore)
     p.add_argument("--block-j", type=int, default=2048, action=_TrackedStore)
-    p.add_argument("--block-u", type=int, default=1024, action=_TrackedStore,
+    p.add_argument("--block-u", type=int, default=None, action=_TrackedStore,
                    help="superblock width of the pair-symmetric kernels")
     p.add_argument("--chunk", type=int, default=1024, action=_TrackedStore)
     p.add_argument("--shards", type=int, default=0,
@@ -98,7 +99,7 @@ def _make_cfg(args):
         impl=args.impl, integrator=args.integrator, seed=args.seed,
         max_pos=args.max_pos, min_mass=args.min_mass, max_mass=args.max_mass,
         block_i=args.block_i, block_j=args.block_j,
-        block_u=getattr(args, "block_u", 1024), chunk=args.chunk,
+        block_u=getattr(args, "block_u", None), chunk=args.chunk,
         dtype=getattr(args, "dtype", "float32"),
         viz=getattr(args, "viz", False),
         viz_every=getattr(args, "viz_every", 1) or 1,

@@ -85,10 +85,11 @@ class SimConfig:
     chunk: int = 1024
 
     # Pair-symmetric (N3L) kernel tuning: superblock width (the j-extent of
-    # a tile AND the scatter-buffer granularity; 512x1024 measured fastest
-    # on v5e — scripts/r2_sym_tpu.py) and superblocks per panel (None =
-    # sized automatically from the VMEM resident-buffer budget).
-    block_u: int = 1024
+    # a tile AND the scatter-buffer granularity) and superblocks per panel
+    # (None = sized automatically from the VMEM resident-buffer budget).
+    # block_u=None auto-selects by N: 1536 for N >= 512k, 1024 below (the
+    # measured optimum is N-dependent — scripts/r3_tiles.py, docs/PERF.md).
+    block_u: Optional[int] = None
     panel_nb: Optional[int] = None
 
     # Visualization (reference simulation_visualization.h:8-9)

@@ -95,6 +95,26 @@ def _accum_j_vpu(dx, dy, dz, fj):
     return jnp.concatenate([sx, sy, sz], axis=0)
 
 
+def _accum_both_vpu_rc(xi, xjT, mass_row_j, mass_col_i, eps2):
+    """Liveness-reduced exact tile (experimental ``vpu_rc``): the (BI,U)
+    coordinate differences are RECOMPUTED per component in the accumulate
+    stage instead of staying live across it, shrinking the peak working
+    set from ~5 to ~3 (BI,U) buffers (+3 sub flops/pair) so larger j-tiles
+    fit VMEM.  Returns (acc_i (BI,3), acc_j (3,U) positive-magnitude)."""
+    d2 = ((xjT[0:1, :] - xi[:, 0:1]) * (xjT[0:1, :] - xi[:, 0:1])
+          + (xjT[1:2, :] - xi[:, 1:2]) * (xjT[1:2, :] - xi[:, 1:2])
+          + (xjT[2:3, :] - xi[:, 2:3]) * (xjT[2:3, :] - xi[:, 2:3]) + eps2)
+    inv = jax.lax.rsqrt(d2 * d2 * d2)
+    fi = mass_row_j * inv
+    fj = mass_col_i * inv
+    ai, aj = [], []
+    for c in range(3):
+        d = xjT[c:c + 1, :] - xi[:, c:c + 1]
+        ai.append(jnp.sum(fi * d, axis=1, keepdims=True))
+        aj.append(jnp.sum(fj * d, axis=0, keepdims=True))
+    return (jnp.concatenate(ai, axis=1), jnp.concatenate(aj, axis=0))
+
+
 def _bf16_split(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -265,6 +285,12 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
                 acc_i_ref[:] += ai
                 _scatter_add(acc_jT_ref, j_sb, aj)
             return
+        if variant == "vpu_rc":
+            ai, aj = _accum_both_vpu_rc(
+                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+            acc_i_ref[:] += ai
+            _scatter_add(acc_jT_ref, j_sb, -aj)
+            return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
         if variant == "vpu":
@@ -341,6 +367,12 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
                 acc_a_ref[:] += ai
                 _scatter_add(acc_bT_ref, jb, aj)
             return
+        if variant == "vpu_rc":
+            ai, aj = _accum_both_vpu_rc(
+                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+            acc_a_ref[:] += ai
+            _scatter_add(acc_bT_ref, jb, -aj)
+            return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
         if variant == "vpu":
@@ -351,7 +383,7 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
             _scatter_add(acc_bT_ref, jb, _accum_j_turbo(fj, xi, xjT,
                                                         block_i))
 
-    if variant == "vpu":
+    if variant.startswith("vpu"):
         def kernel(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref,
                    acc_a_ref, acc_bT_ref):
             body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref, None,
@@ -529,6 +561,14 @@ def _unscatter(acc_jT):
 # Public entry
 # --------------------------------------------------------------------------
 
+def resolve_block_u(block_u: "int | None", n: int) -> int:
+    """None = auto: the measured optimum is N-dependent (512x1536 wins +6%
+    at N=1M but loses 14% at N=65536 — docs/PERF.md tile sweep)."""
+    if block_u is not None:
+        return block_u
+    return 1536 if n >= (512 << 10) else 1024
+
+
 def _panel_layout(n, block_u, max_nb):
     """Choose (nb_per_panel, n_panels): nb ODD (the circular sweep's
     no-duplicate condition), panels equal-sized and BALANCED, total >= n.
@@ -557,11 +597,13 @@ def _validate_sym_blocks(block_i, block_u, nb):
     if block_u % block_i != 0:
         raise ValueError(
             f"block_u={block_u} must be a multiple of block_i={block_i}")
-    # Working set: fused elementwise chain holds ~4 live (BI,U) f32
-    # temporaries (dx/dy/dz live across both accumulations) + the resident
+    # Working set: the fused elementwise chain's PEAK liveness schedules
+    # to ~2 (BI,U) f32 temporaries (Mosaic interleaves the per-component
+    # accumulations; calibrated against reality — (512,1536) and
+    # (512,2048) both compile and run, scripts/r3_tiles.py) + the resident
     # scatter buffer at 32 B/body + streamed blocks (double-buffered).
     # (Estimate; Mosaic is the final arbiter and raises on real overflow.)
-    live = 4 * block_i * block_u * 4
+    live = 2 * block_i * block_u * 4
     resident = nb * 8 * block_u * 4
     # Streams, double-buffered, at physical (lane-padded) sizes: i-side
     # pos (BI,3)->(BI,128) and mass (BI,1)->(BI,128); j-side posT
@@ -643,7 +685,7 @@ def _rect_sym_padded(pos_a, mass_a, pos_b, mass_b, eps2, block_i, block_u,
 
 def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
                     pos_b: jax.Array, mass_b: jax.Array, eps2: float,
-                    block_i: int = 512, block_u: int = 1024,
+                    block_i: int = 512, block_u: "int | None" = None,
                     panel_nb: "int | None" = None,
                     variant: str = "vpu",
                     interpret: "bool | None" = None):
@@ -665,6 +707,7 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
     na, nb_real = pos_a.shape[0], pos_b.shape[0]
+    block_u = resolve_block_u(block_u, nb_real)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if panel_nb is None:
@@ -688,8 +731,159 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
     return acc_a[:na], acc_b[:nb_real]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("eps2", "block_i", "block_u", "panel_nb",
+                              "variant", "interpret", "selfs", "pairs"))
+def _sym_group_prog(pos_p, mass_p, acc_in, eps2, block_i, block_u, panel_nb,
+                    variant, interpret, selfs, pairs):
+    """One device program computing a SUBSET of the panel work: the
+    triangular sweeps of the panels in ``selfs`` and the cross sweeps of
+    the panel pairs in ``pairs``, accumulated into ``acc_in`` (which stays
+    device-resident across the group programs — no host round trips)."""
+    m = panel_nb * block_u
+    mass_row = mass_p[None, :]
+    mass_col = mass_p[:, None]
+    posT = pos_p.T
+    acc = acc_in
+    for a in selfs:
+        sl = slice(a * m, (a + 1) * m)
+        part = _diag_call(pos_p[sl], posT[:, sl], mass_row[:, sl], eps2=eps2,
+                          nb=panel_nb, block_i=block_i, block_u=block_u,
+                          interpret=interpret)
+        if panel_nb >= 3:
+            acc_i, acc_jT = _sym_call(
+                pos_p[sl], mass_col[sl], posT[:, sl], mass_row[:, sl],
+                eps2=eps2, nb=panel_nb, block_i=block_i, block_u=block_u,
+                variant=variant, interpret=interpret)
+            part = part + acc_i + _unscatter(acc_jT)
+        acc = acc.at[sl].add(part)
+    for a, b in pairs:
+        sa = slice(a * m, (a + 1) * m)
+        sb = slice(b * m, (b + 1) * m)
+        acc_a, acc_bT = _rect_call(
+            pos_p[sa], mass_col[sa], posT[:, sb], mass_row[:, sb],
+            pos_p[sb], mass_col[sb], eps2=eps2, nb_b=panel_nb,
+            block_i=block_i, block_u=block_u, variant=variant,
+            interpret=interpret)
+        acc = acc.at[sa].add(acc_a)
+        acc = acc.at[sb].add(_unscatter(acc_bT))
+    return acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps2", "block_i", "block_u", "panel_nb",
+                              "variant", "interpret"))
+def _sym_pair_batch_prog(pos_p, mass_p, acc_in, a_ids, b_ids, w, eps2,
+                         block_i, block_u, panel_nb, variant, interpret):
+    """Compile-ONCE batched cross-panel program: processes ``len(a_ids)``
+    panel pairs at DYNAMIC offsets via ``lax.scan``.  Every batch of every
+    step reuses this single compilation (the static-tuple grouping in
+    ``_sym_group_prog`` compiles a distinct XLA program per group — fine
+    for the per-panel self sweeps, quadratically many compiles for pairs).
+    Padding items carry weight 0 (their kernel output is computed and
+    discarded; <= batch-1 wasted items per force evaluation)."""
+    m = panel_nb * block_u
+
+    def body(acc, item):
+        a, b, wt = item
+        oa = a * m
+        ob = b * m
+        pa = jax.lax.dynamic_slice(pos_p, (oa, 0), (m, 3))
+        pb = jax.lax.dynamic_slice(pos_p, (ob, 0), (m, 3))
+        ma = jax.lax.dynamic_slice(mass_p, (oa,), (m,))
+        mb = jax.lax.dynamic_slice(mass_p, (ob,), (m,))
+        acc_a, acc_bT = _rect_call(
+            pa, ma[:, None], pb.T, mb[None, :], pb, mb[:, None],
+            eps2=eps2, nb_b=panel_nb, block_i=block_i, block_u=block_u,
+            variant=variant, interpret=interpret)
+        cur_a = jax.lax.dynamic_slice(acc, (oa, 0), (m, 3))
+        acc = jax.lax.dynamic_update_slice(acc, cur_a + wt * acc_a, (oa, 0))
+        cur_b = jax.lax.dynamic_slice(acc, (ob, 0), (m, 3))
+        acc = jax.lax.dynamic_update_slice(
+            acc, cur_b + wt * _unscatter(acc_bT), (ob, 0))
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc_in, (a_ids, b_ids, w))
+    return acc
+
+
+def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
+                              block_i: int = 512,
+                              block_u: "int | None" = None,
+                              panel_nb: "int | None" = None,
+                              variant: str = "vpu",
+                              interpret: "bool | None" = None,
+                              max_prog_interactions: float = 1.2e13
+                              ) -> jax.Array:
+    """``forces_pallas_sym`` dispatched as MULTIPLE device programs, each
+    bounded to ~``max_prog_interactions`` interactions (the bench metric's
+    unit: a full eval costs N², each unordered pair delivering 2).
+
+    One fused force evaluation at N=4M runs ~71 s of kernel time in a
+    single XLA program — past the point where an execution-time-limited
+    runtime (the axon relay kills ~60 s programs) or a preemptible
+    production schedule can tolerate an unsplittable unit.  This driver
+    splits the panel work into (a) ONE program for the per-panel self
+    sweeps (cost grows only linearly in N) and (b) batches of cross-panel
+    pairs dispatched through a single compile-once dynamic-offset program
+    (``_sym_pair_batch_prog``), each batch sized to stay under the cap;
+    the accumulator stays device-resident between programs, so the only
+    per-program cost is dispatch latency.  Default cap 1.2e13 ≈ 45 s at
+    the exact tier's measured ~266 G/s (N=4M exact = 1.76e13 total →
+    ~2 bounded programs).
+
+    Semantics identical to ``forces_pallas_sym`` (same kernels, same
+    per-slice accumulation order).
+    """
+    if variant not in SYM_VARIANTS:
+        raise ValueError(
+            f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
+    n = pos.shape[0]
+    block_u = resolve_block_u(block_u, n)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if panel_nb is None:
+        panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
+    nb, panels = _panel_layout(n, block_u, panel_nb)
+    _validate_sym_blocks(block_i, block_u, nb)
+    n_pad = panels * nb * block_u
+    pad = n_pad - n
+    pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
+    mass_p = jnp.pad(mass, (0, pad))
+
+    m = nb * block_u
+    acc = jnp.zeros_like(pos_p)
+    # Program 1: all per-panel self sweeps (diag + triangular) — total cost
+    # panels*m² interactions, linear in N (~2 s at N=4M; reaches the 45 s
+    # cap only near N~90M).  Compiled once per (N, geometry).
+    acc = _sym_group_prog(pos_p, mass_p, acc, float(eps2), block_i,
+                          block_u, nb, variant, interpret,
+                          tuple(range(panels)), ())
+    # Programs 2..k: cross-panel pairs in lexicographic order (matching the
+    # fused program's per-slice accumulation order), batched under the cap.
+    # Each cross pair costs 2m² interactions (m² pairs, 2 interactions per
+    # pair — the N²-per-eval bench unit).
+    pairs = [(a, b) for a in range(panels) for b in range(a + 1, panels)]
+    if pairs:
+        batch = max(1, int(max_prog_interactions // (2.0 * m * m)))
+        batch = min(batch, len(pairs))
+        for lo in range(0, len(pairs), batch):
+            chunk = pairs[lo:lo + batch]
+            npad = batch - len(chunk)
+            # Pad with weight-0 dummies so every batch reuses ONE compile.
+            chunk = chunk + [(0, 1)] * npad
+            a_ids = jnp.asarray([p[0] for p in chunk], jnp.int32)
+            b_ids = jnp.asarray([p[1] for p in chunk], jnp.int32)
+            w = jnp.asarray([1.0] * (len(chunk) - npad) + [0.0] * npad,
+                            pos_p.dtype)
+            acc = _sym_pair_batch_prog(
+                pos_p, mass_p, acc, a_ids, b_ids, w, float(eps2), block_i,
+                block_u, nb, variant, interpret)
+    return acc[:n]
+
+
 def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
-                      block_i: int = 512, block_u: int = 1024,
+                      block_i: int = 512, block_u: "int | None" = None,
                       panel_nb: "int | None" = None,
                       variant: str = "vpu",
                       interpret: "bool | None" = None) -> jax.Array:
@@ -704,6 +898,7 @@ def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
     n = pos.shape[0]
+    block_u = resolve_block_u(block_u, n)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if panel_nb is None:

@@ -86,6 +86,55 @@ def run_trajectory(
     return final, snaps
 
 
+_SYM_IMPL_VARIANTS = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
+                      "pallas_sym_turbo2": "turbo2", "pallas_sym_mxu": "mxu"}
+
+
+def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
+                        impl: "str | None" = None,
+                        max_prog_interactions: float = 1.2e13) -> SimState:
+    """Host-driven step loop with the force evaluation split into multiple
+    bounded device programs (``forces_pallas_sym_chunked``).
+
+    For problem sizes where ONE fused step exceeds an execution-time limit
+    (N=4M exact is ~71 s of kernel time — past the relay's ~60 s
+    single-program kill, and past what a preemptible production scheduler
+    tolerates), this trades the fori_loop fusion for bounded program
+    granularity.  State stays device-resident throughout; the only added
+    cost is per-program dispatch latency.
+    """
+    from .forces_pallas_sym import forces_pallas_sym_chunked
+    impl = impl or resolve_impl(cfg)
+    variant = _SYM_IMPL_VARIANTS.get(impl)
+    if variant is None:
+        raise ValueError(
+            f"run_steps_multiprog requires a pallas_sym* impl, got {impl!r}")
+
+    def forces(pos):
+        return forces_pallas_sym_chunked(
+            pos, state.mass, cfg.eps2, block_i=cfg.block_i,
+            block_u=cfg.block_u, panel_nb=cfg.panel_nb, variant=variant,
+            max_prog_interactions=max_prog_interactions)
+
+    ref_update = jax.jit(reference_update)
+    kick = jax.jit(kdk_kick)
+    drift = jax.jit(kdk_drift)
+    for _ in range(n_steps):
+        if cfg.integrator == "reference":
+            acc = forces(state.pos)
+            pos, vel = ref_update(state.pos, state.vel, acc, cfg.dt)
+            state = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
+        elif cfg.integrator == "kdk":
+            vel_half = kick(state.vel, state.acc, cfg.dt)
+            pos = drift(state.pos, vel_half, cfg.dt)
+            acc = forces(pos)
+            vel = kick(vel_half, acc, cfg.dt)
+            state = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
+        else:
+            raise ValueError(f"unknown integrator {cfg.integrator!r}")
+    return state
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_steps", "frame_every", "impl",
                               "packed"))

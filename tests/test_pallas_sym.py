@@ -148,6 +148,51 @@ def test_rect_sym_momentum_closure():
     assert np.abs(pa + pb).max() / scale < 1e-5
 
 
+def test_chunked_matches_single_program():
+    """Multi-program dispatch (bounded program granularity for sizes whose
+    fused step exceeds execution-time limits) must reproduce the fused
+    result bit-for-bit at a cap that forces MANY groups."""
+    from nbody_tpu.ops.forces_pallas_sym import (
+        forces_pallas_sym_chunked)
+    import jax.numpy as jnp2
+    n = 3000   # 3 panels at panel_nb=5, block_u=256 -> 3 selfs + 3 pairs
+    pos, _, mass = make_small_system(n, seed=44)
+    one = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=256,
+        panel_nb=5, variant="vpu"))
+    # Cap of 1 interaction: every work item lands in its own program.
+    many = np.asarray(forces_pallas_sym_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=256,
+        panel_nb=5, variant="vpu", max_prog_interactions=1.0))
+    np.testing.assert_array_equal(one, many)
+    # And a mid cap that groups 2-3 items per program.
+    mid = np.asarray(forces_pallas_sym_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=256,
+        panel_nb=5, variant="vpu", max_prog_interactions=3e6))
+    np.testing.assert_array_equal(one, mid)
+    del jnp2
+
+
+def test_run_steps_multiprog_matches_fused():
+    from nbody_tpu import SimConfig, SimState
+    from nbody_tpu.ops.step import run_steps, run_steps_multiprog
+    n = 1536
+    pos, vel, mass = make_small_system(n, seed=45)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros((n, 3), jnp.float32),
+                     mass=jnp.asarray(mass))
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=64, block_u=128,
+                    panel_nb=3)
+    fused = run_steps(state, cfg, 3, impl="pallas_sym")
+    multi = run_steps_multiprog(state, cfg, 3, impl="pallas_sym",
+                                max_prog_interactions=5e5)
+    np.testing.assert_allclose(np.asarray(multi.pos), np.asarray(fused.pos),
+                               rtol=1e-6, atol=1e-3)
+
+    with pytest.raises(ValueError, match="pallas_sym"):
+        run_steps_multiprog(state, cfg, 1, impl="pallas")
+
+
 def test_panel_layout():
     # Single panel: nb forced odd.
     assert _panel_layout(65536, 1024, 128) == (65, 1)
