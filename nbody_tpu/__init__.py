@@ -13,13 +13,14 @@ from .config import SimConfig
 from .models.init import init_state, plummer_state
 from .models.state import SimState, pad_state, unpad_state
 from .ops.forces import compute_forces, resolve_impl
-from .ops.step import prime_kdk, run_steps, run_trajectory, step
+from .ops.step import (prime_kdk, run_steps, run_steps_multiprog,
+                       run_trajectory, step)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SimConfig", "SimState", "init_state", "plummer_state",
     "pad_state", "unpad_state", "compute_forces", "resolve_impl",
-    "step", "run_steps", "run_trajectory", "prime_kdk",
-    "__version__",
+    "step", "run_steps", "run_steps_multiprog", "run_trajectory",
+    "prime_kdk", "__version__",
 ]

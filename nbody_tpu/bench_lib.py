@@ -52,8 +52,18 @@ def run_benchmark(n: int = 65536, steps: int = 20,
             return run_steps_sharded(s, cfg, mesh, k, impl=impl_resolved,
                                      comm=comm)
     else:
-        def advance(s, k):
-            return run_steps(s, cfg, k, impl=impl_resolved)
+        from .ops.forces_pallas_sym import DEFAULT_PROG_CAP
+        from .ops.step import _SYM_IMPL_VARIANTS, run_steps_multiprog
+        if (impl_resolved in _SYM_IMPL_VARIANTS
+                and float(n) * n > DEFAULT_PROG_CAP):
+            # One fused step would exceed the per-program execution bound
+            # (relay kill / preemptible-scheduler limits): same routing as
+            # Simulation._run_chunk.
+            def advance(s, k):
+                return run_steps_multiprog(s, cfg, k, impl=impl_resolved)
+        else:
+            def advance(s, k):
+                return run_steps(s, cfg, k, impl=impl_resolved)
 
     e0 = energy_f64(state, cfg.eps2) if energy else None
 

@@ -43,7 +43,7 @@ _ARG_TO_CFG = {
     "impl": "impl", "integrator": "integrator", "seed": "seed",
     "max_pos": "max_pos", "min_mass": "min_mass", "max_mass": "max_mass",
     "block_i": "block_i", "block_j": "block_j", "block_u": "block_u",
-    "chunk": "chunk", "dtype": "dtype",
+    "chunk": "chunk", "dtype": "dtype", "prog_cap": "prog_cap",
 }
 
 
@@ -86,6 +86,12 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--block-u", type=int, default=None, action=_TrackedStore,
                    help="superblock width of the pair-symmetric kernels")
     p.add_argument("--chunk", type=int, default=1024, action=_TrackedStore)
+    p.add_argument("--prog-cap", type=float, default=None,
+                   action=_TrackedStore,
+                   help="max interactions per device program (pallas_sym* "
+                        "impls split each force evaluation into bounded "
+                        "programs; auto-engages when one fused step would "
+                        "exceed ~1.2e13 interactions)")
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
     p.add_argument("--comm", default="ring", choices=["ring", "allgather"])
@@ -100,6 +106,7 @@ def _make_cfg(args):
         max_pos=args.max_pos, min_mass=args.min_mass, max_mass=args.max_mass,
         block_i=args.block_i, block_j=args.block_j,
         block_u=getattr(args, "block_u", None), chunk=args.chunk,
+        prog_cap=getattr(args, "prog_cap", None),
         dtype=getattr(args, "dtype", "float32"),
         viz=getattr(args, "viz", False),
         viz_every=getattr(args, "viz_every", 1) or 1,

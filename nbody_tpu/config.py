@@ -92,6 +92,15 @@ class SimConfig:
     block_u: Optional[int] = None
     panel_nb: Optional[int] = None
 
+    # Bounded program granularity (pallas_sym* impls): maximum interactions
+    # per device program.  None = auto — fused single-program steps below
+    # ~1.2e13 interactions/eval, multi-program dispatch above it (one fused
+    # step past that point exceeds execution-time-limited runtimes: the
+    # relay kills ~60 s programs, and a preemptible production scheduler
+    # needs bounded units).  An explicit value forces multi-program
+    # dispatch at that cap.
+    prog_cap: Optional[float] = None
+
     # Visualization (reference simulation_visualization.h:8-9)
     viz: bool = False
     viz_width: int = 800

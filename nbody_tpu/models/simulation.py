@@ -60,6 +60,17 @@ class Simulation:
         if cfg.integrator == "kdk":
             self.state = prime_kdk(self.state, cfg, impl=self.impl)
         self.step_count = 0
+        # Bounded program granularity: an explicit cfg.prog_cap forces the
+        # multi-program path; otherwise it engages automatically when one
+        # fused force evaluation would exceed the default per-program bound
+        # (execution-time-limited runtimes kill such programs — the fused
+        # N=4M exact step is ~71 s).  pallas_sym* single-device only.
+        from ..ops.step import _SYM_IMPL_VARIANTS
+        from ..ops.forces_pallas_sym import DEFAULT_PROG_CAP
+        self._use_multiprog = (
+            mesh is None and self.impl in _SYM_IMPL_VARIANTS
+            and (cfg.prog_cap is not None
+                 or float(cfg.n_bodies) ** 2 > DEFAULT_PROG_CAP))
 
     @classmethod
     def resume(cls, path: str, cfg: Optional[SimConfig] = None,
@@ -96,6 +107,10 @@ class Simulation:
             from ..parallel.ring import run_steps_sharded
             self.state = run_steps_sharded(
                 self.state, self.cfg, self.mesh, n, impl=self.impl)
+        elif self._use_multiprog:
+            from ..ops.step import run_steps_multiprog
+            self.state = run_steps_multiprog(
+                self.state, self.cfg, n, impl=self.impl)
         else:
             self.state = run_steps(self.state, self.cfg, n, impl=self.impl)
 

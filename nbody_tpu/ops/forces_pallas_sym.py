@@ -62,6 +62,12 @@ _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 SYM_VARIANTS = ("vpu", "turbo", "turbo2", "mxu")
 
+# Default interactions-per-program bound for the chunked dispatcher
+# (forces_pallas_sym_chunked): ~45 s at the exact tier's measured
+# ~266 GInter/s — safely under execution-time-limited runtimes (the axon
+# relay kills single programs at ~60 s).
+DEFAULT_PROG_CAP = 1.2e13
+
 
 def _pair_terms(xi, xjT, mass_row_j, mass_col_i, eps2):
     """Shared per-tile geometry: returns (dx, dy, dz, fi, fj) where
@@ -813,7 +819,7 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
                               panel_nb: "int | None" = None,
                               variant: str = "vpu",
                               interpret: "bool | None" = None,
-                              max_prog_interactions: float = 1.2e13
+                              max_prog_interactions: float = DEFAULT_PROG_CAP
                               ) -> jax.Array:
     """``forces_pallas_sym`` dispatched as MULTIPLE device programs, each
     bounded to ~``max_prog_interactions`` interactions (the bench metric's
@@ -865,8 +871,14 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
     # pair — the N²-per-eval bench unit).
     pairs = [(a, b) for a in range(panels) for b in range(a + 1, panels)]
     if pairs:
-        batch = max(1, int(max_prog_interactions // (2.0 * m * m)))
-        batch = min(batch, len(pairs))
+        # Split EVENLY into the fewest programs under the cap: every batch
+        # gets the same static size (one compile) and total dummy padding
+        # stays <= n_prog - 1 items.  (Padding every batch up to the cap
+        # instead wasted up to a full batch of computed-and-discarded
+        # items: 210 dummies = +30 s/step at N=4M exact.)
+        per = max(1, int(max_prog_interactions // (2.0 * m * m)))
+        n_prog = -(-len(pairs) // per)
+        batch = -(-len(pairs) // n_prog)
         for lo in range(0, len(pairs), batch):
             chunk = pairs[lo:lo + batch]
             npad = batch - len(chunk)

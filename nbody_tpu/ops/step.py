@@ -92,7 +92,8 @@ _SYM_IMPL_VARIANTS = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
 
 def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
                         impl: "str | None" = None,
-                        max_prog_interactions: float = 1.2e13) -> SimState:
+                        max_prog_interactions: "float | None" = None
+                        ) -> SimState:
     """Host-driven step loop with the force evaluation split into multiple
     bounded device programs (``forces_pallas_sym_chunked``).
 
@@ -103,12 +104,14 @@ def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
     granularity.  State stays device-resident throughout; the only added
     cost is per-program dispatch latency.
     """
-    from .forces_pallas_sym import forces_pallas_sym_chunked
+    from .forces_pallas_sym import DEFAULT_PROG_CAP, forces_pallas_sym_chunked
     impl = impl or resolve_impl(cfg)
     variant = _SYM_IMPL_VARIANTS.get(impl)
     if variant is None:
         raise ValueError(
             f"run_steps_multiprog requires a pallas_sym* impl, got {impl!r}")
+    if max_prog_interactions is None:
+        max_prog_interactions = cfg.prog_cap or DEFAULT_PROG_CAP
 
     def forces(pos):
         return forces_pallas_sym_chunked(

@@ -90,3 +90,37 @@ def test_kdk_simulation_primes_acc():
     # prime_kdk ran in __init__: acc must be nonzero before the first step.
     assert float(jnp.abs(sim.state.acc).max()) > 0
     sim.run(n_steps=3, log_every=0)
+
+
+def test_prog_cap_routes_multiprog_and_matches():
+    """An explicit prog_cap forces bounded-program dispatch; the result must
+    match the fused single-program run."""
+    n = 1536
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=64, block_u=128,
+                    panel_nb=3)
+    fused = Simulation(cfg, state=make_state(n, seed=77),
+                       logger=RunLogger(quiet=True))
+    fused.run(n_steps=3, log_every=0)
+    capped = Simulation(cfg.replace(prog_cap=5e5),
+                        state=make_state(n, seed=77),
+                        logger=RunLogger(quiet=True))
+    assert capped._use_multiprog
+    assert not fused._use_multiprog
+    capped.run(n_steps=3, log_every=0)
+    np.testing.assert_allclose(np.asarray(capped.state.pos),
+                               np.asarray(fused.state.pos),
+                               rtol=1e-6, atol=1e-3)
+
+
+def test_prog_cap_auto_threshold():
+    """Without an explicit cap, multiprog engages only when one fused step
+    would exceed the default per-program bound (N^2 > 1.2e13)."""
+    from nbody_tpu.ops.forces_pallas_sym import DEFAULT_PROG_CAP
+    small = Simulation(SimConfig(n_bodies=256, impl="pallas_sym",
+                                 block_i=8, block_u=128),
+                       state=make_state(256, seed=78),
+                       logger=RunLogger(quiet=True))
+    assert not small._use_multiprog
+    # The auto threshold sits between practical fused sizes (N=2M) and the
+    # relay-killed ones (N=4M).
+    assert (2 << 20) ** 2 < DEFAULT_PROG_CAP < float(4 << 20) ** 2
