@@ -12,6 +12,8 @@ the diagnostic itself does not add noise to the drift measurement.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,8 +64,68 @@ def total_momentum(vel, mass) -> jax.Array:
     return jnp.sum(mass[:, None] * vel, axis=0)
 
 
-def energy_f64(state, eps2: float) -> float:
-    """Float64 host-side total energy (the drift-gate measurement)."""
+@functools.partial(jax.jit, static_argnames=("eps2", "col_chunk"))
+def _pe_rows(pos_rows, mass_rows, pos_all, mass_all, start, eps2,
+             col_chunk=2048):
+    """Device-side partial potential: the PE terms of ``pos_rows`` against
+    ALL bodies, column-chunked (temporaries bounded to (rows, col_chunk)).
+    Self-pairs masked by global index; zero-mass ghosts are inert."""
+    n = pos_all.shape[0]
+    i_ids = start + jax.lax.broadcasted_iota(
+        jnp.int32, (pos_rows.shape[0], 1), 0)
+
+    def body(carry, args):
+        pos_c, mass_c, cstart = args
+        r = pos_c[None, :, :] - pos_rows[:, None, :]
+        d2 = jnp.sum(r * r, axis=-1) + eps2
+        inv = jax.lax.rsqrt(d2)
+        j_ids = cstart + jax.lax.broadcasted_iota(
+            jnp.int32, (1, pos_c.shape[0]), 1)
+        inv = jnp.where(j_ids == i_ids, 0.0, inv)
+        return carry + jnp.sum(mass_rows[:, None] * mass_c[None, :] * inv), \
+            None
+
+    cstarts = jnp.arange(0, n, col_chunk, dtype=jnp.int32)
+    cols = (pos_all.reshape(-1, col_chunk, 3),
+            mass_all.reshape(-1, col_chunk), cstarts)
+    total, _ = jax.lax.scan(body, jnp.asarray(0.0, pos_all.dtype), cols)
+    return total
+
+
+def total_energy_bounded(state, eps2: float, row_chunk: int = 65536,
+                         col_chunk: int = 2048) -> float:
+    """Total energy via BOUNDED device programs (one per ``row_chunk`` of
+    bodies), partials accumulated in float64 on host.
+
+    The huge-N companion of ``energy_f64``: the host-f64 path is O(N^2) on
+    one CPU core (hours past ~256k bodies), and a single device program
+    over all pairs exceeds execution-time-limited runtimes at N>=4M — the
+    same wall ``run_steps_multiprog`` solves for forces.  Pairwise math is
+    device float32 (adequate for drift diagnostics; each program's sum is
+    an fp32 tree reduction, partials then combine in f64)."""
+    n = state.pos.shape[0]
+    n_pad = -(-n // col_chunk) * col_chunk
+    pos_all = jnp.pad(state.pos, ((0, n_pad - n), (0, 0)))
+    mass_all = jnp.pad(state.mass, (0, n_pad - n))
+    ke = float(kinetic_energy(state.vel, state.mass))
+    pe = 0.0
+    for s in range(0, n, row_chunk):
+        rows = slice(s, min(s + row_chunk, n))
+        pe += float(_pe_rows(state.pos[rows], state.mass[rows], pos_all,
+                             mass_all, s, float(eps2),
+                             col_chunk=col_chunk))
+    return ke - 0.5 * pe
+
+
+def energy_f64(state, eps2: float, max_host_n: int = 262144) -> float:
+    """Float64 host-side total energy (the drift-gate measurement).
+
+    Above ``max_host_n`` bodies the exact host-f64 sweep is infeasible
+    (O(N^2) on one core); delegates to ``total_energy_bounded`` (device
+    f32 pairs, f64 partial combination) — the precision that matters for
+    the 1e-3-scale drift gates at those N."""
+    if state.pos.shape[0] > max_host_n:
+        return total_energy_bounded(state, eps2)
     pos = np.asarray(state.pos, dtype=np.float64)
     vel = np.asarray(state.vel, dtype=np.float64)
     mass = np.asarray(state.mass, dtype=np.float64)

@@ -567,11 +567,19 @@ def _unscatter(acc_jT):
 # Public entry
 # --------------------------------------------------------------------------
 
-def resolve_block_u(block_u: "int | None", n: int) -> int:
-    """None = auto: the measured optimum is N-dependent (512x1536 wins +6%
-    at N=1M but loses 14% at N=65536 — docs/PERF.md tile sweep)."""
+def resolve_block_u(block_u: "int | None", n: int,
+                    variant: str = "vpu") -> int:
+    """None = auto: the measured optimum is N- AND variant-dependent
+    (docs/PERF.md tile sweeps): exact (vpu) peaks at 512x1536 for large N
+    (266 vs 247 G/s at 1M) but loses 14% above 1024 at 65k; turbo's live
+    set is smaller (accumulations leave the VPU for the MXU), so its
+    optimum sits at 2048 (414 vs 389 at 1M)."""
     if block_u is not None:
         return block_u
+    if variant in ("turbo", "turbo2"):
+        # 2048 wins from 65k up (350.8 vs 308 G/s at 65k, 414.5 vs 389 at
+        # 1M); below that, superblock rounding would pad >10% ghosts.
+        return 2048 if n >= 65536 else 1024
     return 1536 if n >= (512 << 10) else 1024
 
 
@@ -632,14 +640,14 @@ def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
     n_pad = pos_p.shape[0]
     m = panel_nb * block_u
     panels = n_pad // m
-    mass_row = mass_p[None, :]
-    mass_col = mass_p[:, None]
     posT = pos_p.T
 
+    # Per-slice narrow operands (never a full-length (N, 1) column — its
+    # 128x lane padding is the large-N OOM wall; see _sym_self_batch_prog).
     pa = [pos_p[a * m:(a + 1) * m] for a in range(panels)]
     paT = [posT[:, a * m:(a + 1) * m] for a in range(panels)]
-    mra = [mass_row[:, a * m:(a + 1) * m] for a in range(panels)]
-    mca = [mass_col[a * m:(a + 1) * m] for a in range(panels)]
+    mra = [mass_p[a * m:(a + 1) * m][None, :] for a in range(panels)]
+    mca = [mass_p[a * m:(a + 1) * m][:, None] for a in range(panels)]
 
     acc = [None] * panels
     for a in range(panels):
@@ -671,8 +679,6 @@ def _rect_sym_padded(pos_a, mass_a, pos_b, mass_b, eps2, block_i, block_u,
                      nb_b, variant, interpret):
     mass_col_a = mass_a[:, None]
     posT_b = pos_b.T
-    mass_row_b = mass_b[None, :]
-    mass_col_b = mass_b[:, None]
     m = nb_b * block_u
     panels = pos_b.shape[0] // m
     acc_a = jnp.zeros_like(pos_a)
@@ -680,8 +686,8 @@ def _rect_sym_padded(pos_a, mass_a, pos_b, mass_b, eps2, block_i, block_u,
     for q in range(panels):
         sl = slice(q * m, (q + 1) * m)
         aa, abT = _rect_call(
-            pos_a, mass_col_a, posT_b[:, sl], mass_row_b[:, sl],
-            pos_b[sl], mass_col_b[sl], eps2=eps2, nb_b=nb_b,
+            pos_a, mass_col_a, posT_b[:, sl], mass_b[sl][None, :],
+            pos_b[sl], mass_b[sl][:, None], eps2=eps2, nb_b=nb_b,
             block_i=block_i, block_u=block_u, variant=variant,
             interpret=interpret)
         acc_a = acc_a + aa
@@ -713,7 +719,7 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
     na, nb_real = pos_a.shape[0], pos_b.shape[0]
-    block_u = resolve_block_u(block_u, nb_real)
+    block_u = resolve_block_u(block_u, nb_real, variant)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if panel_nb is None:
@@ -739,77 +745,83 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
 
 @functools.partial(
     jax.jit, static_argnames=("eps2", "block_i", "block_u", "panel_nb",
-                              "variant", "interpret", "selfs", "pairs"))
-def _sym_group_prog(pos_p, mass_p, acc_in, eps2, block_i, block_u, panel_nb,
-                    variant, interpret, selfs, pairs):
-    """One device program computing a SUBSET of the panel work: the
-    triangular sweeps of the panels in ``selfs`` and the cross sweeps of
-    the panel pairs in ``pairs``, accumulated into ``acc_in`` (which stays
-    device-resident across the group programs — no host round trips)."""
+                              "variant", "interpret"))
+def _sym_self_batch_prog(pos_flat, mass_p, acc_flat, a_ids, eps2, block_i,
+                         block_u, panel_nb, variant, interpret):
+    """One device program for the per-panel SELF sweeps (diagonal +
+    triangular), scanning dynamic panel offsets — compile-once, and only
+    one iteration's temporaries are live at a time.
+
+    Layout contract (the large-N memory walls, both measured at N=16.8M):
+    positions and the accumulator travel FLAT ``(3N,)`` — dynamic
+    slice/update on an ``(N, 3)`` array makes XLA materialize it in
+    T(8,128) tiled layout, padding the minor dim 3->128 (42.7x: two
+    8.06 GiB copies = OOM); 1-D T(1024) layout is compact, and panel
+    offsets ``3*a*m`` stay tile-aligned.  Narrow ``(m, 1)``/``(1, m)``
+    mass operands are likewise built per slice (a full-length ``(N, 1)``
+    column lane-pads 128x = 8.4 GiB)."""
     m = panel_nb * block_u
-    mass_row = mass_p[None, :]
-    mass_col = mass_p[:, None]
-    posT = pos_p.T
-    acc = acc_in
-    for a in selfs:
-        sl = slice(a * m, (a + 1) * m)
-        part = _diag_call(pos_p[sl], posT[:, sl], mass_row[:, sl], eps2=eps2,
-                          nb=panel_nb, block_i=block_i, block_u=block_u,
+
+    def body(acc, a):
+        o = 3 * a * m
+        pa = jax.lax.dynamic_slice(pos_flat, (o,), (3 * m,)).reshape(m, 3)
+        ma = jax.lax.dynamic_slice(mass_p, (a * m,), (m,))
+        paT = pa.T
+        part = _diag_call(pa, paT, ma[None, :], eps2=eps2, nb=panel_nb,
+                          block_i=block_i, block_u=block_u,
                           interpret=interpret)
         if panel_nb >= 3:
             acc_i, acc_jT = _sym_call(
-                pos_p[sl], mass_col[sl], posT[:, sl], mass_row[:, sl],
-                eps2=eps2, nb=panel_nb, block_i=block_i, block_u=block_u,
-                variant=variant, interpret=interpret)
+                pa, ma[:, None], paT, ma[None, :], eps2=eps2, nb=panel_nb,
+                block_i=block_i, block_u=block_u, variant=variant,
+                interpret=interpret)
             part = part + acc_i + _unscatter(acc_jT)
-        acc = acc.at[sl].add(part)
-    for a, b in pairs:
-        sa = slice(a * m, (a + 1) * m)
-        sb = slice(b * m, (b + 1) * m)
-        acc_a, acc_bT = _rect_call(
-            pos_p[sa], mass_col[sa], posT[:, sb], mass_row[:, sb],
-            pos_p[sb], mass_col[sb], eps2=eps2, nb_b=panel_nb,
-            block_i=block_i, block_u=block_u, variant=variant,
-            interpret=interpret)
-        acc = acc.at[sa].add(acc_a)
-        acc = acc.at[sb].add(_unscatter(acc_bT))
+        cur = jax.lax.dynamic_slice(acc, (o,), (3 * m,))
+        acc = jax.lax.dynamic_update_slice(
+            acc, cur + part.reshape(-1), (o,))
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc_flat, a_ids)
     return acc
 
 
 @functools.partial(
     jax.jit, static_argnames=("eps2", "block_i", "block_u", "panel_nb",
                               "variant", "interpret"))
-def _sym_pair_batch_prog(pos_p, mass_p, acc_in, a_ids, b_ids, w, eps2,
+def _sym_pair_batch_prog(pos_flat, mass_p, acc_flat, a_ids, b_ids, w, eps2,
                          block_i, block_u, panel_nb, variant, interpret):
     """Compile-ONCE batched cross-panel program: processes ``len(a_ids)``
     panel pairs at DYNAMIC offsets via ``lax.scan``.  Every batch of every
-    step reuses this single compilation (the static-tuple grouping in
-    ``_sym_group_prog`` compiles a distinct XLA program per group — fine
-    for the per-panel self sweeps, quadratically many compiles for pairs).
+    step reuses this single compilation (a static-tuple grouping would
+    compile a distinct XLA program per group — quadratically many at
+    large N).
     Padding items carry weight 0 (their kernel output is computed and
-    discarded; <= batch-1 wasted items per force evaluation)."""
+    discarded; <= batch-1 wasted items per force evaluation).
+    Positions/accumulator travel FLAT — see ``_sym_self_batch_prog`` for
+    the measured (N, 3)-layout OOM wall this avoids."""
     m = panel_nb * block_u
 
     def body(acc, item):
         a, b, wt = item
-        oa = a * m
-        ob = b * m
-        pa = jax.lax.dynamic_slice(pos_p, (oa, 0), (m, 3))
-        pb = jax.lax.dynamic_slice(pos_p, (ob, 0), (m, 3))
-        ma = jax.lax.dynamic_slice(mass_p, (oa,), (m,))
-        mb = jax.lax.dynamic_slice(mass_p, (ob,), (m,))
+        oa = 3 * a * m
+        ob = 3 * b * m
+        pa = jax.lax.dynamic_slice(pos_flat, (oa,), (3 * m,)).reshape(m, 3)
+        pb = jax.lax.dynamic_slice(pos_flat, (ob,), (3 * m,)).reshape(m, 3)
+        ma = jax.lax.dynamic_slice(mass_p, (a * m,), (m,))
+        mb = jax.lax.dynamic_slice(mass_p, (b * m,), (m,))
         acc_a, acc_bT = _rect_call(
             pa, ma[:, None], pb.T, mb[None, :], pb, mb[:, None],
             eps2=eps2, nb_b=panel_nb, block_i=block_i, block_u=block_u,
             variant=variant, interpret=interpret)
-        cur_a = jax.lax.dynamic_slice(acc, (oa, 0), (m, 3))
-        acc = jax.lax.dynamic_update_slice(acc, cur_a + wt * acc_a, (oa, 0))
-        cur_b = jax.lax.dynamic_slice(acc, (ob, 0), (m, 3))
+        cur_a = jax.lax.dynamic_slice(acc, (oa,), (3 * m,))
         acc = jax.lax.dynamic_update_slice(
-            acc, cur_b + wt * _unscatter(acc_bT), (ob, 0))
+            acc, cur_a + wt * acc_a.reshape(-1), (oa,))
+        cur_b = jax.lax.dynamic_slice(acc, (ob,), (3 * m,))
+        acc = jax.lax.dynamic_update_slice(
+            acc, cur_b + wt * _unscatter(acc_bT).reshape(-1), (ob,))
         return acc, None
 
-    acc, _ = jax.lax.scan(body, acc_in, (a_ids, b_ids, w))
+    acc, _ = jax.lax.scan(body, acc_flat, (a_ids, b_ids, w))
     return acc
 
 
@@ -845,7 +857,7 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
     n = pos.shape[0]
-    block_u = resolve_block_u(block_u, n)
+    block_u = resolve_block_u(block_u, n, variant)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if panel_nb is None:
@@ -858,13 +870,15 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
     mass_p = jnp.pad(mass, (0, pad))
 
     m = nb * block_u
-    acc = jnp.zeros_like(pos_p)
-    # Program 1: all per-panel self sweeps (diag + triangular) — total cost
-    # panels*m² interactions, linear in N (~2 s at N=4M; reaches the 45 s
-    # cap only near N~90M).  Compiled once per (N, geometry).
-    acc = _sym_group_prog(pos_p, mass_p, acc, float(eps2), block_i,
-                          block_u, nb, variant, interpret,
-                          tuple(range(panels)), ())
+    pos_flat = pos_p.reshape(-1)
+    acc = jnp.zeros_like(pos_flat)
+    # Program 1: all per-panel self sweeps (diag + triangular), scanned at
+    # dynamic offsets — total cost panels*m² interactions, linear in N
+    # (~2 s at N=4M; reaches the 45 s cap only near N~90M).  Compiled once
+    # per (N, geometry), bounded temporaries.
+    acc = _sym_self_batch_prog(
+        pos_flat, mass_p, acc, jnp.arange(panels, dtype=jnp.int32),
+        float(eps2), block_i, block_u, nb, variant, interpret)
     # Programs 2..k: cross-panel pairs in lexicographic order (matching the
     # fused program's per-slice accumulation order), batched under the cap.
     # Each cross pair costs 2m² interactions (m² pairs, 2 interactions per
@@ -889,9 +903,9 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
             w = jnp.asarray([1.0] * (len(chunk) - npad) + [0.0] * npad,
                             pos_p.dtype)
             acc = _sym_pair_batch_prog(
-                pos_p, mass_p, acc, a_ids, b_ids, w, float(eps2), block_i,
-                block_u, nb, variant, interpret)
-    return acc[:n]
+                pos_flat, mass_p, acc, a_ids, b_ids, w, float(eps2),
+                block_i, block_u, nb, variant, interpret)
+    return acc.reshape(-1, 3)[:n]
 
 
 def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
@@ -910,7 +924,7 @@ def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
     n = pos.shape[0]
-    block_u = resolve_block_u(block_u, n)
+    block_u = resolve_block_u(block_u, n, variant)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if panel_nb is None:

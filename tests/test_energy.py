@@ -65,3 +65,22 @@ def test_padding_does_not_change_energy():
     # f64 summation-order noise only
     np.testing.assert_allclose(energy_f64(padded, EPS2),
                                energy_f64(state, EPS2), rtol=1e-9)
+
+
+def test_total_energy_bounded_matches_host_f64():
+    """The bounded-program energy path (device f32 pairs, f64 partial
+    combination) must agree with the exact host-f64 sweep to f32-level
+    relative precision, including ragged row/col chunks."""
+    from nbody_tpu.models.energy import energy_f64, total_energy_bounded
+    n = 3000
+    pos, vel, mass = make_small_system(n, seed=91)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros((n, 3), jnp.float32),
+                     mass=jnp.asarray(mass))
+    exact = energy_f64(state, 0.002)
+    bounded = total_energy_bounded(state, 0.002, row_chunk=1024,
+                                   col_chunk=256)
+    assert abs(bounded - exact) / abs(exact) < 1e-5
+    # The huge-N delegation threshold routes to the bounded path.
+    delegated = energy_f64(state, 0.002, max_host_n=100)
+    assert abs(delegated - exact) / abs(exact) < 1e-5

@@ -239,3 +239,18 @@ def test_sym_in_step_loop():
     assert_matches_oracle(np.asarray(out.pos), rpos, "pos(sym)", abs_tol=1.0)
     assert_matches_oracle(np.asarray(out.vel), rvel, "vel(sym)",
                           abs_tol=1e-2)
+
+
+def test_resolve_block_u_variant_aware():
+    from nbody_tpu.ops.forces_pallas_sym import resolve_block_u
+    # Explicit value always wins.
+    assert resolve_block_u(512, 1 << 20, "vpu") == 512
+    # Small N: 1024 for the exact family; turbo flips to 2048 at 65k.
+    assert resolve_block_u(None, 65536, "vpu") == 1024
+    assert resolve_block_u(None, 65536, "turbo") == 2048
+    assert resolve_block_u(None, 32768, "turbo") == 1024
+    # Large N: exact peaks at 1536, turbo/turbo2 at 2048 (docs/PERF.md).
+    assert resolve_block_u(None, 1 << 20, "vpu") == 1536
+    assert resolve_block_u(None, 1 << 20, "mxu") == 1536
+    assert resolve_block_u(None, 1 << 20, "turbo") == 2048
+    assert resolve_block_u(None, 1 << 20, "turbo2") == 2048
