@@ -33,12 +33,13 @@ def run_benchmark(n: int = 65536, steps: int = 20,
                   energy: bool = False, warmup_steps: int = 3,
                   seed: int = 0, trials: int = 2,
                   panel_nb: Optional[int] = None,
-                  block_u: Optional[int] = None) -> dict:
+                  block_u: Optional[int] = None,
+                  prog_cap: Optional[float] = None) -> dict:
     from .utils.compcache import enable_compilation_cache
     enable_compilation_cache()
     cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
                     chunk=chunk, seed=seed, panel_nb=panel_nb,
-                    block_u=block_u)
+                    block_u=block_u, prog_cap=prog_cap)
     impl_resolved = resolve_impl(cfg)
     state = init_state(cfg)
 
@@ -52,10 +53,8 @@ def run_benchmark(n: int = 65536, steps: int = 20,
             return run_steps_sharded(s, cfg, mesh, k, impl=impl_resolved,
                                      comm=comm)
     else:
-        from .ops.forces_pallas_sym import DEFAULT_PROG_CAP
-        from .ops.step import _SYM_IMPL_VARIANTS, run_steps_multiprog
-        if (impl_resolved in _SYM_IMPL_VARIANTS
-                and float(n) * n > DEFAULT_PROG_CAP):
+        from .ops.step import run_steps_multiprog, should_use_multiprog
+        if should_use_multiprog(cfg, impl_resolved):
             # One fused step would exceed the per-program execution bound
             # (relay kill / preemptible-scheduler limits): same routing as
             # Simulation._run_chunk.

@@ -143,13 +143,31 @@ def cmd_run(args) -> int:
     if args.save_trajectory:
         # Trajectory-capture path: snapshots accumulate on device in one
         # compiled scan, then export to NPZ (nbody render consumes it).
+        # Under bounded-program routing the fused scan is exactly the
+        # over-long program the cap avoids — step in bounded chunks and
+        # collect snapshots host-side instead.
         from .io.checkpoint import save_trajectory
-        from .ops.step import run_trajectory
-        final, snaps = run_trajectory(
-            sim.state, cfg, args.steps, snap_every=max(1, args.snap_every),
-            impl=sim.impl)
+        from .ops.step import run_steps_multiprog, run_trajectory
+        snap_every = max(1, args.snap_every)
+        if sim._use_multiprog:
+            state = sim.state
+            collected = []
+            for _ in range(args.steps // snap_every):
+                state = run_steps_multiprog(state, cfg, snap_every,
+                                            impl=sim.impl)
+                collected.append(np.asarray(state.pos))
+            rem = args.steps - (args.steps // snap_every) * snap_every
+            if rem:
+                state = run_steps_multiprog(state, cfg, rem, impl=sim.impl)
+            final = state
+            snaps = (np.stack(collected) if collected
+                     else np.empty((0,) + tuple(state.pos.shape), np.float32))
+        else:
+            final, snaps = run_trajectory(
+                sim.state, cfg, args.steps, snap_every=snap_every,
+                impl=sim.impl)
         save_trajectory(args.save_trajectory, np.asarray(snaps),
-                        max(1, args.snap_every), cfg,
+                        snap_every, cfg,
                         mass=np.asarray(final.mass))
         if not args.quiet:
             print(f"saved {snaps.shape[0]} snapshots -> "
@@ -299,6 +317,8 @@ def cmd_bench(args) -> int:
     result = run_benchmark(
         n=args.n, steps=args.steps, impl=args.impl,
         block_i=args.block_i, block_j=args.block_j, chunk=args.chunk,
+        block_u=getattr(args, "block_u", None),
+        prog_cap=getattr(args, "prog_cap", None),
         shards=args.shards or None, comm=args.comm,
         energy=args.energy, warmup_steps=args.warmup)
     print(json.dumps(result))

@@ -87,8 +87,10 @@ class SimConfig:
     # Pair-symmetric (N3L) kernel tuning: superblock width (the j-extent of
     # a tile AND the scatter-buffer granularity) and superblocks per panel
     # (None = sized automatically from the VMEM resident-buffer budget).
-    # block_u=None auto-selects by N: 1536 for N >= 512k, 1024 below (the
-    # measured optimum is N-dependent — scripts/r3_tiles.py, docs/PERF.md).
+    # block_u=None auto-selects by N AND variant (the measured optima
+    # differ — docs/PERF.md tile sweeps): exact family 1536 at N >= 512k /
+    # 1024 below; turbo/turbo2 2048 from N >= 65536 / 1024 below
+    # (ops/forces_pallas_sym.resolve_block_u).
     block_u: Optional[int] = None
     panel_nb: Optional[int] = None
 

@@ -92,8 +92,10 @@ def _pe_rows(pos_rows, mass_rows, pos_all, mass_all, start, eps2,
     return total
 
 
-def total_energy_bounded(state, eps2: float, row_chunk: int = 65536,
-                         col_chunk: int = 2048) -> float:
+def total_energy_bounded(state, eps2: float,
+                         row_chunk: "int | None" = None,
+                         col_chunk: int = 2048,
+                         max_prog_pairs: float = 3e11) -> float:
     """Total energy via BOUNDED device programs (one per ``row_chunk`` of
     bodies), partials accumulated in float64 on host.
 
@@ -102,8 +104,15 @@ def total_energy_bounded(state, eps2: float, row_chunk: int = 65536,
     over all pairs exceeds execution-time-limited runtimes at N>=4M — the
     same wall ``run_steps_multiprog`` solves for forces.  Pairwise math is
     device float32 (adequate for drift diagnostics; each program's sum is
-    an fp32 tree reduction, partials then combine in f64)."""
+    an fp32 tree reduction, partials then combine in f64).
+
+    ``row_chunk=None`` sizes rows so each program evaluates at most
+    ``max_prog_pairs`` (rows x N) pairs — the per-program bound must not
+    grow with N (at a fixed row count a 16M-body program would be ~16x
+    longer than the 1M one and re-cross the execution limit)."""
     n = state.pos.shape[0]
+    if row_chunk is None:
+        row_chunk = max(1024, min(65536, int(max_prog_pairs // max(n, 1))))
     n_pad = -(-n // col_chunk) * col_chunk
     pos_all = jnp.pad(state.pos, ((0, n_pad - n), (0, 0)))
     mass_all = jnp.pad(state.mass, (0, n_pad - n))

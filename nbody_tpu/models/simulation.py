@@ -65,12 +65,9 @@ class Simulation:
         # fused force evaluation would exceed the default per-program bound
         # (execution-time-limited runtimes kill such programs — the fused
         # N=4M exact step is ~71 s).  pallas_sym* single-device only.
-        from ..ops.step import _SYM_IMPL_VARIANTS
-        from ..ops.forces_pallas_sym import DEFAULT_PROG_CAP
-        self._use_multiprog = (
-            mesh is None and self.impl in _SYM_IMPL_VARIANTS
-            and (cfg.prog_cap is not None
-                 or float(cfg.n_bodies) ** 2 > DEFAULT_PROG_CAP))
+        from ..ops.step import should_use_multiprog
+        self._use_multiprog = (mesh is None
+                               and should_use_multiprog(cfg, self.impl))
 
     @classmethod
     def resume(cls, path: str, cfg: Optional[SimConfig] = None,
@@ -139,8 +136,12 @@ class Simulation:
         # and batch through the host link in one transfer — the per-frame
         # round-trip was the 7 fps bottleneck through the relay.  Only
         # cap the chunk so the frame batch stays within a memory budget.
+        # The on-device batched frame path fuses the whole chunk into one
+        # program — incompatible with bounded-program routing (the fused
+        # chunk is exactly the over-long program multiprog splits).  Huge-N
+        # runs fall back to rendering from state at chunk boundaries.
         batched_viz = (frame_streamer is not None and cfg.viz_every > 0
-                       and self.mesh is None)
+                       and self.mesh is None and not self._use_multiprog)
         cadences = [log_every if log_every > 0 else n_steps]
         if frame_streamer is not None and cfg.viz_every > 0:
             if batched_viz:

@@ -22,6 +22,31 @@ from ..config import SimConfig
 from ..models.integrators import kdk_drift, kdk_kick, reference_update
 from ..models.state import SimState
 from .forces import compute_forces, resolve_impl
+from .forces_pallas_sym import DEFAULT_PROG_CAP
+
+
+_SYM_IMPL_VARIANTS = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
+                      "pallas_sym_turbo2": "turbo2", "pallas_sym_mxu": "mxu"}
+
+
+def should_use_multiprog(cfg: SimConfig, impl: str) -> bool:
+    """Single source of truth for bounded-program routing: an explicit
+    ``cfg.prog_cap`` forces it; otherwise it engages when one fused force
+    evaluation would exceed the default per-program bound (past which
+    execution-time-limited runtimes kill the program)."""
+    return (impl in _SYM_IMPL_VARIANTS
+            and (cfg.prog_cap is not None
+                 or float(cfg.n_bodies) ** 2 > DEFAULT_PROG_CAP))
+
+
+def compute_forces_bounded(pos, mass, cfg: SimConfig, impl: str):
+    """One force evaluation through the bounded multi-program dispatcher
+    (``forces_pallas_sym_chunked``) at the config's cap."""
+    from .forces_pallas_sym import forces_pallas_sym_chunked
+    return forces_pallas_sym_chunked(
+        pos, mass, cfg.eps2, block_i=cfg.block_i, block_u=cfg.block_u,
+        panel_nb=cfg.panel_nb, variant=_SYM_IMPL_VARIANTS[impl],
+        max_prog_interactions=cfg.prog_cap or DEFAULT_PROG_CAP)
 
 
 def step(state: SimState, cfg: SimConfig, impl: "str | None" = None) -> SimState:
@@ -48,8 +73,14 @@ def step(state: SimState, cfg: SimConfig, impl: "str | None" = None) -> SimState
 def prime_kdk(state: SimState, cfg: SimConfig,
               impl: "str | None" = None) -> SimState:
     """Seed state.acc = a(x_0) so the KDK integrator's first half-kick is
-    consistent."""
-    acc = compute_forces(state.pos, state.mass, cfg, impl=impl)
+    consistent.  Routes through the bounded multi-program dispatcher when
+    the config engages it (a fused priming evaluation at N>=4M is exactly
+    the over-long program the cap exists to avoid)."""
+    impl = impl or resolve_impl(cfg)
+    if should_use_multiprog(cfg, impl):
+        acc = compute_forces_bounded(state.pos, state.mass, cfg, impl)
+    else:
+        acc = compute_forces(state.pos, state.mass, cfg, impl=impl)
     return state._replace(acc=acc)
 
 
@@ -86,8 +117,12 @@ def run_trajectory(
     return final, snaps
 
 
-_SYM_IMPL_VARIANTS = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
-                      "pallas_sym_turbo2": "turbo2", "pallas_sym_mxu": "mxu"}
+# Module-level jitted integrator helpers for the host-driven multiprog
+# loop (rebuilding jit wrappers per call would discard their trace cache
+# and re-lower through the remote relay every Simulation chunk).
+_ref_update_jit = jax.jit(reference_update)
+_kick_jit = jax.jit(kdk_kick)
+_drift_jit = jax.jit(kdk_drift)
 
 
 def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
@@ -119,19 +154,16 @@ def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
             block_u=cfg.block_u, panel_nb=cfg.panel_nb, variant=variant,
             max_prog_interactions=max_prog_interactions)
 
-    ref_update = jax.jit(reference_update)
-    kick = jax.jit(kdk_kick)
-    drift = jax.jit(kdk_drift)
     for _ in range(n_steps):
         if cfg.integrator == "reference":
             acc = forces(state.pos)
-            pos, vel = ref_update(state.pos, state.vel, acc, cfg.dt)
+            pos, vel = _ref_update_jit(state.pos, state.vel, acc, cfg.dt)
             state = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
         elif cfg.integrator == "kdk":
-            vel_half = kick(state.vel, state.acc, cfg.dt)
-            pos = drift(state.pos, vel_half, cfg.dt)
+            vel_half = _kick_jit(state.vel, state.acc, cfg.dt)
+            pos = _drift_jit(state.pos, vel_half, cfg.dt)
             acc = forces(pos)
-            vel = kick(vel_half, acc, cfg.dt)
+            vel = _kick_jit(vel_half, acc, cfg.dt)
             state = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
         else:
             raise ValueError(f"unknown integrator {cfg.integrator!r}")
