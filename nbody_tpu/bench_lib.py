@@ -53,7 +53,8 @@ def run_benchmark(n: int = 65536, steps: int = 20,
             return run_steps_sharded(s, cfg, mesh, k, impl=impl_resolved,
                                      comm=comm)
     else:
-        from .ops.step import run_steps_multiprog, should_use_multiprog
+        from .ops.step import (max_fused_steps, run_steps_multiprog,
+                               should_use_multiprog)
         if should_use_multiprog(cfg, impl_resolved):
             # One fused step would exceed the per-program execution bound
             # (relay kill / preemptible-scheduler limits): same routing as
@@ -61,8 +62,16 @@ def run_benchmark(n: int = 65536, steps: int = 20,
             def advance(s, k):
                 return run_steps_multiprog(s, cfg, k, impl=impl_resolved)
         else:
+            # Fused dispatch, chunked so no single program exceeds the
+            # bound (chunks queue asynchronously; timing is unaffected).
+            bound = max_fused_steps(cfg)
+
             def advance(s, k):
-                return run_steps(s, cfg, k, impl=impl_resolved)
+                while k > 0:
+                    todo = min(k, bound)
+                    s = run_steps(s, cfg, todo, impl=impl_resolved)
+                    k -= todo
+                return s
 
     e0 = energy_f64(state, cfg.eps2) if energy else None
 

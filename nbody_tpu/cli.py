@@ -147,18 +147,31 @@ def cmd_run(args) -> int:
         # over-long program the cap avoids — step in bounded chunks and
         # collect snapshots host-side instead.
         from .io.checkpoint import save_trajectory
-        from .ops.step import run_steps_multiprog, run_trajectory
+        from .ops.forces_pallas_sym import DEFAULT_PROG_CAP
+        from .ops.step import (max_fused_steps, run_steps,
+                               run_steps_multiprog, run_trajectory)
         snap_every = max(1, args.snap_every)
-        if sim._use_multiprog:
+        whole_run = float(args.steps) * cfg.interactions_per_step
+        if sim._use_multiprog or whole_run > (cfg.prog_cap
+                                              or DEFAULT_PROG_CAP):
             state = sim.state
+            bound = max_fused_steps(cfg)
+
+            def advance(s, k):
+                if sim._use_multiprog:
+                    return run_steps_multiprog(s, cfg, k, impl=sim.impl)
+                while k > 0:
+                    s = run_steps(s, cfg, min(k, bound), impl=sim.impl)
+                    k -= min(k, bound)
+                return s
+
             collected = []
             for _ in range(args.steps // snap_every):
-                state = run_steps_multiprog(state, cfg, snap_every,
-                                            impl=sim.impl)
+                state = advance(state, snap_every)
                 collected.append(np.asarray(state.pos))
             rem = args.steps - (args.steps // snap_every) * snap_every
             if rem:
-                state = run_steps_multiprog(state, cfg, rem, impl=sim.impl)
+                state = advance(state, rem)
             final = state
             snaps = (np.stack(collected) if collected
                      else np.empty((0,) + tuple(state.pos.shape), np.float32))

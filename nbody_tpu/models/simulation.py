@@ -157,6 +157,13 @@ class Simulation:
             cadences.append(checkpoint_every)
         if sort_every > 0:
             cadences.append(sort_every)
+        if self.mesh is None and not self._use_multiprog:
+            # A fused chunk is ONE device program costing chunk x N²
+            # interactions — bound it like any other program (a 25-step
+            # chunk at N=1M is a ~100 s program and crashes an
+            # execution-time-limited worker).
+            from ..ops.step import max_fused_steps
+            cadences.append(max_fused_steps(cfg))
         chunk = max(1, min(cadences))
 
         if sort_every > 0:

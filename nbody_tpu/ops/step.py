@@ -39,6 +39,20 @@ def should_use_multiprog(cfg: SimConfig, impl: str) -> bool:
                  or float(cfg.n_bodies) ** 2 > DEFAULT_PROG_CAP))
 
 
+def max_fused_steps(cfg: SimConfig) -> int:
+    """How many steps one FUSED program may contain under the program cap.
+
+    The execution bound applies to a whole device program, and a fused
+    ``run_steps`` chunk costs steps x N² interactions — at N=1M a 25-step
+    chunk is a ~100 s program, past the same ~60 s kill that motivates
+    per-step multiprog at N>=4M (measured: a 1M 'run --log-every 25'
+    crashed the worker).  Callers chunk fused dispatch to this many
+    steps; chained chunks queue asynchronously, so timing semantics are
+    unchanged."""
+    cap = cfg.prog_cap or DEFAULT_PROG_CAP
+    return max(1, int(cap // max(1, cfg.interactions_per_step)))
+
+
 def compute_forces_bounded(pos, mass, cfg: SimConfig, impl: str):
     """One force evaluation through the bounded multi-program dispatcher
     (``forces_pallas_sym_chunked``) at the config's cap."""

@@ -140,6 +140,13 @@ def config_viz():
             "backend": jax.default_backend()}
 
 
+def config_scale_4m():
+    """Bounded-program scale row (auto multiprog routing; ~8 min on v5e)."""
+    rec = _throughput(1 << 22, "auto", 2)
+    rec["config"] = "scale-4m"
+    return rec
+
+
 CONFIGS = {
     "1": ("oracle-gate", config_oracle_gate),
     "2": ("drift-gate", config_drift_gate),
@@ -148,6 +155,7 @@ CONFIGS = {
     "5": ("ring", config_ring),
     "6": ("viz", config_viz),
     "7": ("drift-gate-soft", config_drift_gate_soft),
+    "8": ("scale-4m", config_scale_4m),   # opt-in: not in the default list
 }
 
 

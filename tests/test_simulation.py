@@ -124,3 +124,27 @@ def test_prog_cap_auto_threshold():
     # The auto threshold sits between practical fused sizes (N=2M) and the
     # relay-killed ones (N=4M).
     assert (2 << 20) ** 2 < DEFAULT_PROG_CAP < float(4 << 20) ** 2
+
+
+def test_fused_chunk_bounded_by_prog_cap():
+    """A fused chunk is one device program costing chunk*N^2 interactions;
+    Simulation must bound it by the program cap even for non-sym impls
+    (a 25-step chunk at N=1M crashed the execution-limited worker)."""
+    from nbody_tpu.ops.step import max_fused_steps
+    cfg = SimConfig(n_bodies=256, impl="xla_nxn",
+                    prog_cap=float(256 * 256 * 3))
+    assert max_fused_steps(cfg) == 3
+    sim = Simulation(cfg, state=make_state(256, seed=80),
+                     logger=RunLogger(quiet=True))
+    assert not sim._use_multiprog   # xla impl: cap bounds chunking instead
+    calls = []
+    orig = sim._run_chunk
+
+    def spy(k):
+        calls.append(k)
+        orig(k)
+
+    sim._run_chunk = spy
+    res = sim.run(n_steps=10, log_every=0)
+    assert res.steps_run == 10
+    assert max(calls) <= 3 and sum(calls) == 10
