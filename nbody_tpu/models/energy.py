@@ -95,7 +95,8 @@ def _pe_rows(pos_rows, mass_rows, pos_all, mass_all, start, eps2,
 def total_energy_bounded(state, eps2: float,
                          row_chunk: "int | None" = None,
                          col_chunk: int = 2048,
-                         max_prog_pairs: float = 3e11) -> float:
+                         max_prog_pairs: float = 3e11,
+                         use_pallas: "bool | None" = None) -> float:
     """Total energy via BOUNDED device programs (one per ``row_chunk`` of
     bodies), partials accumulated in float64 on host.
 
@@ -109,20 +110,38 @@ def total_energy_bounded(state, eps2: float,
     ``row_chunk=None`` sizes rows so each program evaluates at most
     ``max_prog_pairs`` (rows x N) pairs — the per-program bound must not
     grow with N (at a fixed row count a 16M-body program would be ~16x
-    longer than the 1M one and re-cross the execution limit)."""
+    longer than the 1M one and re-cross the execution limit).
+
+    ``use_pallas=None`` picks the VMEM-tiled pair-potential kernel
+    (``ops/pe_pallas.py``, ~4x the XLA sweep's pairs/s) on TPU and the
+    XLA path elsewhere.  The pallas path computes self-pairs (mask-free
+    kernel) and subtracts their closed-form total ``sum(m^2)/sqrt(eps2)``
+    afterwards — exact at r=0 where d2 == eps2."""
+    import jax
     n = state.pos.shape[0]
     if row_chunk is None:
         row_chunk = max(1024, min(65536, int(max_prog_pairs // max(n, 1))))
-    n_pad = -(-n // col_chunk) * col_chunk
-    pos_all = jnp.pad(state.pos, ((0, n_pad - n), (0, 0)))
-    mass_all = jnp.pad(state.mass, (0, n_pad - n))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     ke = float(kinetic_energy(state.vel, state.mass))
     pe = 0.0
-    for s in range(0, n, row_chunk):
-        rows = slice(s, min(s + row_chunk, n))
-        pe += float(_pe_rows(state.pos[rows], state.mass[rows], pos_all,
-                             mass_all, s, float(eps2),
-                             col_chunk=col_chunk))
+    if use_pallas:
+        from ..ops.pe_pallas import pe_rows_pallas
+        for s in range(0, n, row_chunk):
+            rows = slice(s, min(s + row_chunk, n))
+            pe += float(pe_rows_pallas(
+                state.pos[rows], state.mass[rows], state.pos, state.mass,
+                eps2))
+        pe -= float(jnp.sum(state.mass * state.mass)) * float(eps2) ** -0.5
+    else:
+        n_pad = -(-n // col_chunk) * col_chunk
+        pos_all = jnp.pad(state.pos, ((0, n_pad - n), (0, 0)))
+        mass_all = jnp.pad(state.mass, (0, n_pad - n))
+        for s in range(0, n, row_chunk):
+            rows = slice(s, min(s + row_chunk, n))
+            pe += float(_pe_rows(state.pos[rows], state.mass[rows], pos_all,
+                                 mass_all, s, float(eps2),
+                                 col_chunk=col_chunk))
     return ke - 0.5 * pe
 
 
