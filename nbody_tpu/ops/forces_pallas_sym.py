@@ -866,11 +866,14 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
     _validate_sym_blocks(block_i, block_u, nb)
     n_pad = panels * nb * block_u
     pad = n_pad - n
-    pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
+    # Pad in FLAT space: jnp.pad on an (N, 3) array materializes the
+    # padded (Npad, 3) intermediate, and at N=32M that copy came back in
+    # T(8,128) tiled layout — 17.2 GB, over HBM (measured).  Row-major
+    # flattening first keeps every large array 1-D/compact end to end.
+    pos_flat = jnp.pad(pos.reshape(-1), (0, 3 * pad))
     mass_p = jnp.pad(mass, (0, pad))
 
     m = nb * block_u
-    pos_flat = pos_p.reshape(-1)
     acc = jnp.zeros_like(pos_flat)
     # Program 1: all per-panel self sweeps (diag + triangular), scanned at
     # dynamic offsets — total cost panels*m² interactions, linear in N
@@ -901,11 +904,13 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
             a_ids = jnp.asarray([p[0] for p in chunk], jnp.int32)
             b_ids = jnp.asarray([p[1] for p in chunk], jnp.int32)
             w = jnp.asarray([1.0] * (len(chunk) - npad) + [0.0] * npad,
-                            pos_p.dtype)
+                            pos_flat.dtype)
             acc = _sym_pair_batch_prog(
                 pos_flat, mass_p, acc, a_ids, b_ids, w, float(eps2),
                 block_i, block_u, nb, variant, interpret)
-    return acc.reshape(-1, 3)[:n]
+    # Slice in flat space, reshape only at the REAL size (the padded
+    # (Npad, 3) shape is the tiled-copy hazard above).
+    return acc[:3 * n].reshape(n, 3)
 
 
 def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
