@@ -34,6 +34,31 @@ def init_state(cfg: SimConfig, key: "jax.Array | None" = None) -> SimState:
     return SimState(pos=pos, vel=zeros, acc=zeros, mass=mass)
 
 
+def init_state_flat(cfg: SimConfig, key: "jax.Array | None" = None):
+    """Uniform random initial conditions as FLAT row-major arrays
+    (``pos (3N,)``, ``vel (3N,)``, ``acc (3N,)``, ``mass (N,)``) — the
+    >20M-body mode, where an ``(N, 3)`` array cannot exist on device
+    (tiled-copy wall, docs/PERF.md; drive with
+    ``ops.step.run_steps_multiprog_flat``).
+
+    Same uniform-box distribution as ``init_state`` (each coordinate
+    i.i.d. uniform over ±max_pos), but NOT bit-identical per seed — the
+    PRNG consumes the flat shape directly so the (N, 3) sample never
+    materializes."""
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    kpos, kmass = jax.random.split(key)
+    n = cfg.n_bodies
+    pos = jax.random.uniform(
+        kpos, (3 * n,), dtype=jnp.float32,
+        minval=-cfg.max_pos, maxval=cfg.max_pos)
+    mass = jax.random.uniform(
+        kmass, (n,), dtype=jnp.float32,
+        minval=cfg.min_mass, maxval=cfg.max_mass)
+    zeros = jnp.zeros((3 * n,), dtype=jnp.float32)
+    return pos, zeros, zeros, mass
+
+
 def plummer_state(cfg: SimConfig, key: "jax.Array | None" = None,
                   scale_radius: "float | None" = None) -> SimState:
     """Plummer-sphere initial conditions — a physically structured alternative

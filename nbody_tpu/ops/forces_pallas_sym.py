@@ -852,11 +852,39 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
 
     Semantics identical to ``forces_pallas_sym`` (same kernels, same
     per-slice accumulation order).
+
+    The (N, 3) <-> flat conversions here tile-copy at 42.7x on this
+    stack (docs/PERF.md memory walls); above ~20M bodies use the flat
+    API (``forces_pallas_sym_chunked_flat``) with flat state end to end.
     """
+    n = pos.shape[0]
+    out = forces_pallas_sym_chunked_flat(
+        pos.reshape(-1), mass, eps2, block_i=block_i, block_u=block_u,
+        panel_nb=panel_nb, variant=variant, interpret=interpret,
+        max_prog_interactions=max_prog_interactions)
+    return out.reshape(n, 3)
+
+
+def forces_pallas_sym_chunked_flat(
+        pos_flat: jax.Array, mass: jax.Array, eps2: float,
+        block_i: int = 512, block_u: "int | None" = None,
+        panel_nb: "int | None" = None, variant: str = "vpu",
+        interpret: "bool | None" = None,
+        max_prog_interactions: float = DEFAULT_PROG_CAP) -> jax.Array:
+    """Flat-operand core of the chunked dispatcher: positions enter and
+    accelerations leave as row-major flat ``(3N,)`` arrays, so NO ``(N,3)``
+    array ever exists on device.  This is the >20M-body mode: every
+    program op consuming an ``(N, 3)`` array on this stack materializes a
+    T(8,128) tiled copy at 42.7x (17.2 GB at N=32M — over HBM), while
+    1-D arrays stay compact (docs/PERF.md memory walls)."""
     if variant not in SYM_VARIANTS:
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
-    n = pos.shape[0]
+    n = mass.shape[0]
+    if pos_flat.shape != (3 * n,):
+        raise ValueError(
+            f"pos_flat must be row-major (3N,) = ({3 * n},), got "
+            f"{pos_flat.shape}")
     block_u = resolve_block_u(block_u, n, variant)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -866,11 +894,7 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
     _validate_sym_blocks(block_i, block_u, nb)
     n_pad = panels * nb * block_u
     pad = n_pad - n
-    # Pad in FLAT space: jnp.pad on an (N, 3) array materializes the
-    # padded (Npad, 3) intermediate, and at N=32M that copy came back in
-    # T(8,128) tiled layout — 17.2 GB, over HBM (measured).  Row-major
-    # flattening first keeps every large array 1-D/compact end to end.
-    pos_flat = jnp.pad(pos.reshape(-1), (0, 3 * pad))
+    pos_flat = jnp.pad(pos_flat, (0, 3 * pad))
     mass_p = jnp.pad(mass, (0, pad))
 
     m = nb * block_u
@@ -908,9 +932,7 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
             acc = _sym_pair_batch_prog(
                 pos_flat, mass_p, acc, a_ids, b_ids, w, float(eps2),
                 block_i, block_u, nb, variant, interpret)
-    # Slice in flat space, reshape only at the REAL size (the padded
-    # (Npad, 3) shape is the tiled-copy hazard above).
-    return acc[:3 * n].reshape(n, 3)
+    return acc[:3 * n]
 
 
 def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,

@@ -184,6 +184,52 @@ def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
     return state
 
 
+def run_steps_multiprog_flat(pos_flat, vel_flat, acc_flat, mass,
+                             cfg: SimConfig, n_steps: int,
+                             impl: "str | None" = None,
+                             max_prog_interactions: "float | None" = None):
+    """``run_steps_multiprog`` on FLAT row-major state arrays
+    (``(3N,)`` pos/vel/acc + ``(N,)`` mass) — the >20M-body mode.
+
+    Above ~20M bodies an ``(N, 3)`` array cannot even be flattened on
+    device (any program op consuming it tile-copies at 42.7x — 17.2 GB at
+    N=32M; docs/PERF.md memory walls), so huge-N state must be flat END
+    TO END: the integrators are elementwise (shape-agnostic) and the
+    force dispatcher has a flat core
+    (``forces_pallas_sym_chunked_flat``).  Returns the advanced
+    ``(pos_flat, vel_flat, acc_flat)``."""
+    from .forces_pallas_sym import (DEFAULT_PROG_CAP,
+                                    forces_pallas_sym_chunked_flat)
+    impl = impl or resolve_impl(cfg)
+    variant = _SYM_IMPL_VARIANTS.get(impl)
+    if variant is None:
+        raise ValueError(
+            f"run_steps_multiprog_flat requires a pallas_sym* impl, "
+            f"got {impl!r}")
+    if max_prog_interactions is None:
+        max_prog_interactions = cfg.prog_cap or DEFAULT_PROG_CAP
+
+    def forces(p):
+        return forces_pallas_sym_chunked_flat(
+            p, mass, cfg.eps2, block_i=cfg.block_i, block_u=cfg.block_u,
+            panel_nb=cfg.panel_nb, variant=variant,
+            max_prog_interactions=max_prog_interactions)
+
+    for _ in range(n_steps):
+        if cfg.integrator == "reference":
+            acc_flat = forces(pos_flat)
+            pos_flat, vel_flat = _ref_update_jit(pos_flat, vel_flat,
+                                                 acc_flat, cfg.dt)
+        elif cfg.integrator == "kdk":
+            vel_half = _kick_jit(vel_flat, acc_flat, cfg.dt)
+            pos_flat = _drift_jit(pos_flat, vel_half, cfg.dt)
+            acc_flat = forces(pos_flat)
+            vel_flat = _kick_jit(vel_half, acc_flat, cfg.dt)
+        else:
+            raise ValueError(f"unknown integrator {cfg.integrator!r}")
+    return pos_flat, vel_flat, acc_flat
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_steps", "frame_every", "impl",
                               "packed"))

@@ -11,22 +11,25 @@ def log(msg):
 
 def main():
     import jax
-    from nbody_tpu import SimConfig, init_state
-    from nbody_tpu.ops.step import run_steps_multiprog
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.init import init_state_flat
+    from nbody_tpu.ops.step import run_steps_multiprog_flat
     from nbody_tpu.utils.compcache import enable_compilation_cache
     enable_compilation_cache()
     log(f"backend: {jax.default_backend()}")
     n = 1 << 25
     try:
         cfg = SimConfig(n_bodies=n, impl="pallas_sym_turbo")
-        state = init_state(cfg)
+        pos, vel, acc, mass = init_state_flat(cfg)
         t0 = time.time()
-        state = run_steps_multiprog(state, cfg, 1, impl="pallas_sym_turbo")
-        np.asarray(state.pos[:8])
+        pos, vel, acc = run_steps_multiprog_flat(
+            pos, vel, acc, mass, cfg, 1, impl="pallas_sym_turbo")
+        np.asarray(pos[:8])
         log(f"[32M] compile+first step {time.time()-t0:.0f}s")
         t0 = time.time()
-        state = run_steps_multiprog(state, cfg, 1, impl="pallas_sym_turbo")
-        p = np.asarray(state.pos[:8])
+        pos, vel, acc = run_steps_multiprog_flat(
+            pos, vel, acc, mass, cfg, 1, impl="pallas_sym_turbo")
+        p = np.asarray(pos[:8])
         wall = time.time() - t0
         g = n * float(n) / wall / 1e9
         log(f"[32M] {wall:.1f} s/step = {g:.1f} GInter/s "

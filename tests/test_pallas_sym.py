@@ -254,3 +254,34 @@ def test_resolve_block_u_variant_aware():
     assert resolve_block_u(None, 1 << 20, "mxu") == 1536
     assert resolve_block_u(None, 1 << 20, "turbo") == 2048
     assert resolve_block_u(None, 1 << 20, "turbo2") == 2048
+
+
+def test_flat_multiprog_matches_regular():
+    """The flat (>20M-body) mode must reproduce the regular multiprog loop
+    exactly when fed the same flattened state."""
+    import jax
+    from nbody_tpu import SimConfig, SimState
+    from nbody_tpu.ops.step import run_steps_multiprog, \
+        run_steps_multiprog_flat
+    n = 1536
+    pos, vel, mass = make_small_system(n, seed=46)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros((n, 3), jnp.float32),
+                     mass=jnp.asarray(mass))
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=64, block_u=128,
+                    panel_nb=3, prog_cap=5e5)
+    reg = run_steps_multiprog(state, cfg, 3, impl="pallas_sym")
+    pf, vf, af = run_steps_multiprog_flat(
+        jnp.asarray(pos).reshape(-1), jnp.asarray(vel).reshape(-1),
+        jnp.zeros((3 * n,), jnp.float32), jnp.asarray(mass), cfg, 3,
+        impl="pallas_sym")
+    np.testing.assert_array_equal(np.asarray(pf).reshape(n, 3),
+                                  np.asarray(reg.pos))
+    np.testing.assert_array_equal(np.asarray(vf).reshape(n, 3),
+                                  np.asarray(reg.vel))
+
+    with pytest.raises(ValueError, match="pos_flat"):
+        from nbody_tpu.ops.forces_pallas_sym import \
+            forces_pallas_sym_chunked_flat
+        forces_pallas_sym_chunked_flat(jnp.zeros((n, 3)),
+                                       jnp.asarray(mass), 0.002)
