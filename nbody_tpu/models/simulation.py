@@ -157,13 +157,17 @@ class Simulation:
             cadences.append(checkpoint_every)
         if sort_every > 0:
             cadences.append(sort_every)
-        if self.mesh is None and not self._use_multiprog:
+        if not self._use_multiprog:
             # A fused chunk is ONE device program costing chunk x N²
             # interactions — bound it like any other program (a 25-step
             # chunk at N=1M is a ~100 s program and crashes an
-            # execution-time-limited worker).
+            # execution-time-limited worker).  On a mesh each chip's
+            # share is N²/P per step, so the bound scales accordingly.
             from ..ops.step import max_fused_steps
-            cadences.append(max_fused_steps(cfg))
+            bound = max_fused_steps(cfg)
+            if self.mesh is not None:
+                bound = max(1, bound * self.mesh.devices.size)
+            cadences.append(bound)
         chunk = max(1, min(cadences))
 
         if sort_every > 0:
