@@ -126,13 +126,30 @@ def total_energy_bounded(state, eps2: float,
     ke = float(kinetic_energy(state.vel, state.mass))
     pe = 0.0
     if use_pallas:
-        from ..ops.pe_pallas import pe_rows_pallas
+        from ..models.state import round_up
+        from ..ops.pe_pallas import _pe_rows_padded
+        block_i, block_u = 256, 2048
+        # Pad + transpose the j-side ONCE (each op consuming the (N, 3)
+        # array costs a 42.7x tiled copy — docs/PERF.md; per-row-chunk
+        # repetition would multiply it ~N/row_chunk times).
+        n_pad = round_up(n, block_u)
+        posT = jnp.pad(state.pos, ((0, n_pad - n), (0, 0))).T
+        mass_row = jnp.pad(state.mass, (0, n_pad - n))[None, :]
+        interp = jax.default_backend() != "tpu"
         for s in range(0, n, row_chunk):
             rows = slice(s, min(s + row_chunk, n))
-            pe += float(pe_rows_pallas(
-                state.pos[rows], state.mass[rows], state.pos, state.mass,
-                eps2))
-        pe -= float(jnp.sum(state.mass * state.mass)) * float(eps2) ** -0.5
+            nr = rows.stop - s
+            nr_pad = round_up(nr, block_i)
+            pos_r = jnp.pad(state.pos[rows], ((0, nr_pad - nr), (0, 0)))
+            mass_r = jnp.pad(state.mass[rows], (0, nr_pad - nr))
+            pe += float(_pe_rows_padded(pos_r, mass_r, posT, mass_row,
+                                        float(eps2), block_i, block_u,
+                                        interp))
+        # Exact f64 self-term subtraction (the kernel is mask-free; the
+        # self total is comparable to the pair sum, so the subtrahend
+        # must not carry f32 rounding of its own).
+        m64 = np.asarray(state.mass, dtype=np.float64)
+        pe -= float(np.sum(m64 * m64)) / float(eps2) ** 0.5
     else:
         n_pad = -(-n // col_chunk) * col_chunk
         pos_all = jnp.pad(state.pos, ((0, n_pad - n), (0, 0)))

@@ -45,6 +45,12 @@ def init_state_flat(cfg: SimConfig, key: "jax.Array | None" = None):
     i.i.d. uniform over ±max_pos), but NOT bit-identical per seed — the
     PRNG consumes the flat shape directly so the (N, 3) sample never
     materializes."""
+    if cfg.dtype != "float32":
+        # Flat mode drives the float32-only pallas_sym* kernels; refuse
+        # rather than silently ignoring the configured precision.
+        raise ValueError(
+            f"flat-state mode is float32-only (pallas kernels); got "
+            f"dtype={cfg.dtype!r}")
     if key is None:
         key = jax.random.key(cfg.seed)
     kpos, kmass = jax.random.split(key)

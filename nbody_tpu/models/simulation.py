@@ -140,9 +140,24 @@ class Simulation:
         # program — incompatible with bounded-program routing (the fused
         # chunk is exactly the over-long program multiprog splits).  Huge-N
         # runs fall back to rendering from state at chunk boundaries.
+        # A fused chunk is ONE device program costing chunk x N²
+        # interactions (or N²/P per chip on a mesh) — bound it like any
+        # other program (a 25-step chunk at N=1M is a ~100 s program and
+        # crashes an execution-time-limited worker).  Under multiprog
+        # routing each step already dispatches as bounded programs.
+        bound = n_steps
+        if not self._use_multiprog:
+            from ..ops.forces_pallas_sym import DEFAULT_PROG_CAP
+            cap = cfg.prog_cap or DEFAULT_PROG_CAP
+            per_chip = max(1, cfg.interactions_per_step
+                           // (self.mesh.devices.size
+                               if self.mesh is not None else 1))
+            bound = max(1, int(cap // per_chip))
         batched_viz = (frame_streamer is not None and cfg.viz_every > 0
-                       and self.mesh is None and not self._use_multiprog)
-        cadences = [log_every if log_every > 0 else n_steps]
+                       and self.mesh is None and not self._use_multiprog
+                       # The batched path needs >= one frame per chunk.
+                       and bound >= cfg.viz_every)
+        cadences = [log_every if log_every > 0 else n_steps, bound]
         if frame_streamer is not None and cfg.viz_every > 0:
             if batched_viz:
                 # Packed maps are 1 byte/pixel; keep chunks small enough
@@ -157,18 +172,18 @@ class Simulation:
             cadences.append(checkpoint_every)
         if sort_every > 0:
             cadences.append(sort_every)
-        if not self._use_multiprog:
-            # A fused chunk is ONE device program costing chunk x N²
-            # interactions — bound it like any other program (a 25-step
-            # chunk at N=1M is a ~100 s program and crashes an
-            # execution-time-limited worker).  On a mesh each chip's
-            # share is N²/P per step, so the bound scales accordingly.
-            from ..ops.step import max_fused_steps
-            bound = max_fused_steps(cfg)
-            if self.mesh is not None:
-                bound = max(1, bound * self.mesh.devices.size)
-            cadences.append(bound)
         chunk = max(1, min(cadences))
+        if batched_viz and chunk % cfg.viz_every:
+            # Frame batches count todo // viz_every frames; keep chunks
+            # frame-aligned so none are dropped.
+            chunk = max(cfg.viz_every, chunk - chunk % cfg.viz_every)
+        # The modulo triggers below (checkpoint/sort/boundary frames) fire
+        # at done % cadence == 0; end chunks exactly at those boundaries so
+        # an unaligned program bound cannot silently skip them.
+        boundary_cadences = [c for c in (
+            checkpoint_every, sort_every,
+            cfg.viz_every if (frame_streamer is not None and not batched_viz
+                              and cfg.viz_every > 0) else 0) if c > 0]
 
         if sort_every > 0:
             # Initial Z-order sort (accuracy prerequisite of pallas_fast;
@@ -200,6 +215,8 @@ class Simulation:
         # Warm-up compile outside the timed region (first call compiles).
         while done < n_steps:
             todo = min(chunk, n_steps - done)
+            for c in boundary_cadences:
+                todo = min(todo, c - done % c)
             first = done == 0
             t0 = time.perf_counter() if first else 0.0
             if not first:

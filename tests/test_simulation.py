@@ -148,3 +148,42 @@ def test_fused_chunk_bounded_by_prog_cap():
     res = sim.run(n_steps=10, log_every=0)
     assert res.steps_run == 10
     assert max(calls) <= 3 and sum(calls) == 10
+
+
+def test_mesh_chunk_bound_scales_per_chip():
+    """On a mesh each chip's fused chunk costs chunk*N^2/P — the bound is
+    cap//(N^2/P), NOT max(1, cap//N^2)*P (which under-bounds whenever
+    N^2 > cap and the floor engages)."""
+    from nbody_tpu.parallel.mesh import make_mesh
+    n = 256
+    # cap = one step's TOTAL interactions: per-chip cost is N^2/4, so up
+    # to 4 steps fit per program on the 4-way mesh.
+    cfg = SimConfig(n_bodies=n, impl="xla", prog_cap=float(n * n))
+    mesh = make_mesh(4)
+    sim = Simulation(cfg, state=make_state(n, seed=81),
+                     logger=RunLogger(quiet=True), mesh=mesh)
+    calls = []
+    orig = sim._run_chunk
+    sim._run_chunk = lambda k: (calls.append(k), orig(k))[1]
+    sim.run(n_steps=10, log_every=0)
+    assert max(calls) <= 4 and sum(calls) == 10
+
+
+def test_chunks_end_at_modulo_trigger_boundaries(tmp_path):
+    """An unaligned program bound must not skip done%cadence==0 triggers:
+    chunks end exactly at checkpoint boundaries."""
+    import os
+    n = 256
+    cfg = SimConfig(n_bodies=n, impl="xla_nxn",
+                    prog_cap=float(n * n * 3))   # bound = 3 steps
+    sim = Simulation(cfg, state=make_state(n, seed=82),
+                     logger=RunLogger(quiet=True))
+    calls = []
+    orig = sim._run_chunk
+    sim._run_chunk = lambda k: (calls.append(k), orig(k))[1]
+    ck = str(tmp_path / "ck.npz")
+    sim.run(n_steps=10, log_every=0, checkpoint_path=ck, checkpoint_every=5)
+    # Cumulative step counts must include every multiple of 5.
+    sums = [sum(calls[:i + 1]) for i in range(len(calls))]
+    assert 5 in sums and 10 in sums and max(calls) <= 3
+    assert os.path.exists(ck)
