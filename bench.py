@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Driver benchmark entry point: prints ONE JSON line.
 
-Headline config: single-chip Pallas tiled force kernel at the largest N that
-fits comfortably (BASELINE.md config ladder).  vs_baseline is the ratio to
-the 300 GInter/s/chip north-star from BASELINE.json.
+Headline config: N=1M single chip, exact pair-symmetric Pallas kernel
+(BASELINE.md config #3; impl=auto resolves to pallas_sym on TPU).
+vs_baseline is the ratio to the 300 GInter/s/chip north-star from
+BASELINE.json.  The headline is the MEDIAN of >=3 independent trials of
+>=10 steps each, with min/max spread in the JSON (the relayed chip
+carries load jitter; the judged number should be statistically boring).
+A second measurement of the loose-contract turbo tier rides along under
+the "turbo" key (same trial protocol).
 """
 
 import json
@@ -12,21 +17,27 @@ import sys
 
 
 def main() -> int:
-    # Headline config: N=1M single chip, exact pair-symmetric Pallas kernel
-    # (BASELINE.md config #3; impl=auto resolves to pallas_sym on TPU).
-    # ~4.4 s/step on v5e; steps kept small to bound runtime.
     n = int(os.environ.get("NBODY_BENCH_N", "1048576"))
-    steps = int(os.environ.get("NBODY_BENCH_STEPS", "3"))
+    steps = int(os.environ.get("NBODY_BENCH_STEPS", "10"))
+    trials = int(os.environ.get("NBODY_BENCH_TRIALS", "3"))
     impl = os.environ.get("NBODY_BENCH_IMPL", "auto")
+    with_turbo = os.environ.get("NBODY_BENCH_TURBO", "1") != "0"
 
     import jax
     if jax.default_backend() != "tpu":
         # CPU fallback (CI smoke): small problem, XLA path.
         n = min(n, 4096)
         impl = "xla"
+        with_turbo = False
 
     from nbody_tpu.bench_lib import run_benchmark
-    result = run_benchmark(n=n, steps=steps, impl=impl)
+    result = run_benchmark(n=n, steps=steps, impl=impl, trials=trials)
+    if with_turbo:
+        t = run_benchmark(n=n, steps=steps, impl="pallas_sym_turbo",
+                          trials=trials)
+        result["turbo"] = {k: t[k] for k in (
+            "value", "vs_baseline", "ms_per_step", "ginter_min",
+            "ginter_max", "spread_pct", "compile_plus_warmup_s")}
     print(json.dumps(result))
     return 0
 

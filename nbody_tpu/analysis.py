@@ -35,10 +35,12 @@ def com_drift(snapshots: np.ndarray, mass: np.ndarray) -> np.ndarray:
 
     With the reference's cold start (v=0) total momentum is exactly zero,
     so any COM motion is integrator/rounding artifact — a cheap
-    whole-trajectory health metric.
+    whole-trajectory health metric.  Accepts a (T, N, 3) array or any
+    snapshot sequence (e.g. the streamed-NPZ ``LazySnapshots`` view) —
+    snapshots are consumed one at a time.
     """
-    snaps = np.asarray(snapshots, dtype=np.float64)
-    coms = np.stack([center_of_mass(s, mass) for s in snaps])
+    coms = np.stack([center_of_mass(np.asarray(s, dtype=np.float64), mass)
+                     for s in snapshots])
     return np.linalg.norm(coms - coms[0], axis=1)
 
 
@@ -80,7 +82,10 @@ def pair_correlation(pos: np.ndarray, n_bins: int = 64,
     is biased by the COM offset).  g ~ 1 then means "uniform"; g > 1,
     clustering at that separation.  ``r_max`` defaults to the enclosing
     radius.  O(N^2) pair distances, chunked to bound the temporary at
-    ~``chunk * N`` floats.
+    ``chunk * N`` float64s (distances come from the norm expansion
+    ``|a|^2 + |b|^2 - 2 a.b`` — exact enough in f64 at domain scale, and
+    8x leaner than materializing the (chunk, N, 3) difference tensor,
+    which was ~3 GB at N=65536; ADVICE r2).
 
     Returns ``(r_centers, g)``, each (n_bins,).
     """
@@ -95,9 +100,11 @@ def pair_correlation(pos: np.ndarray, n_bins: int = 64,
         r_max = enclosing
     edges = np.linspace(0.0, r_max, n_bins + 1)
     hist = np.zeros(n_bins, dtype=np.float64)
+    norms = np.sum(pos * pos, axis=1)              # (N,) |x|^2
     for s in range(0, n, chunk):
         pc = pos[s:s + chunk]
-        d = np.linalg.norm(pos[None, :, :] - pc[:, None, :], axis=-1)
+        d2 = norms[s:s + chunk, None] + norms[None, :] - 2.0 * (pc @ pos.T)
+        d = np.sqrt(np.maximum(d2, 0.0))           # (chunk, N)
         # Upper triangle only: each unordered pair once, no self-pairs.
         jj = np.arange(n)[None, :]
         ii = (s + np.arange(pc.shape[0]))[:, None]
@@ -157,21 +164,24 @@ def analyze_trajectory(path: str, n_bins: int = 32,
     snapshots' pair correlation (``g_r_first`` / ``g_r_last`` with
     ``r_centers`` on a shared grid).
     """
-    with np.load(path) as z:
-        snaps = np.asarray(z["snapshots"], dtype=np.float64)
-        snap_every = int(z["snap_every"])
-        if "mass" in z:
-            mass = np.asarray(z["mass"], dtype=np.float64)
-        else:   # legacy trajectory without masses: uniform weights
-            mass = np.ones(snaps.shape[1], dtype=np.float64)
+    from .io.checkpoint import load_trajectory
+    snaps, mass, snap_every = load_trajectory(path)
+    if mass is None:   # legacy trajectory without masses: uniform weights
+        mass = np.ones(snaps.shape[1], dtype=np.float64)
+    else:
+        mass = np.asarray(mass, dtype=np.float64)
     t = snaps.shape[0]
+    # Snapshots consumed ONE at a time (streamed trajectories load
+    # lazily; peak memory stays O(one snapshot) at any T).
     lr = np.stack([lagrangian_radii(snaps[k], mass, fractions)
                    for k in range(t)])
     # Shared r grid across first/last so the two curves are comparable.
-    c0 = snaps[0].mean(axis=0)
-    r_max = float(np.linalg.norm(snaps[0] - c0, axis=1).max())
-    r_centers, g_first = pair_correlation(snaps[0], n_bins, r_max=r_max)
-    _, g_last = pair_correlation(snaps[-1], n_bins, r_max=r_max)
+    first = np.asarray(snaps[0], dtype=np.float64)
+    last = np.asarray(snaps[t - 1], dtype=np.float64)
+    c0 = first.mean(axis=0)
+    r_max = float(np.linalg.norm(first - c0, axis=1).max())
+    r_centers, g_first = pair_correlation(first, n_bins, r_max=r_max)
+    _, g_last = pair_correlation(last, n_bins, r_max=r_max)
     return {
         "steps": [(k + 1) * snap_every for k in range(t)],
         "fractions": list(fractions),

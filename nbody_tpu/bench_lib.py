@@ -31,39 +31,53 @@ def run_benchmark(n: int = 65536, steps: int = 20,
                   block_j: int = 2048, chunk: int = 1024,
                   shards: Optional[int] = None, comm: str = "ring",
                   energy: bool = False, warmup_steps: int = 3,
-                  seed: int = 0, trials: int = 2,
+                  seed: int = 0, trials: int = 3,
                   panel_nb: Optional[int] = None,
                   block_u: Optional[int] = None,
-                  prog_cap: Optional[float] = None) -> dict:
+                  prog_cap: Optional[float] = None,
+                  flat_state: Optional[bool] = None) -> dict:
     from .utils.compcache import enable_compilation_cache
     enable_compilation_cache()
     cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
                     chunk=chunk, seed=seed, panel_nb=panel_nb,
-                    block_u=block_u, prog_cap=prog_cap)
+                    block_u=block_u, prog_cap=prog_cap,
+                    flat_state=flat_state)
     impl_resolved = resolve_impl(cfg)
-    state = init_state(cfg)
 
     mesh = None
     if shards and shards > 1:
         from .parallel.mesh import make_mesh
         from .parallel.ring import run_steps_sharded
+        state = init_state(cfg)
         mesh = make_mesh(shards)
 
         def advance(s, k):
             return run_steps_sharded(s, cfg, mesh, k, impl=impl_resolved,
                                      comm=comm)
     else:
-        from .ops.step import (max_fused_steps, run_steps_multiprog,
+        from .ops.step import (max_fused_steps, run_steps_flat,
+                               run_steps_multiprog, should_use_flat,
                                should_use_multiprog)
-        if should_use_multiprog(cfg, impl_resolved):
+        if should_use_flat(cfg, impl_resolved):
+            # The >16M-body mode: flat (3N,) state end to end (the (N,3)
+            # tiled-copy wall, docs/PERF.md) — same routing as Simulation.
+            from .models.init import init_state_flat
+            state = init_state_flat(cfg)
+
+            def advance(s, k):
+                return run_steps_flat(s, cfg, k, impl=impl_resolved)
+        elif should_use_multiprog(cfg, impl_resolved):
             # One fused step would exceed the per-program execution bound
             # (relay kill / preemptible-scheduler limits): same routing as
             # Simulation._run_chunk.
+            state = init_state(cfg)
+
             def advance(s, k):
                 return run_steps_multiprog(s, cfg, k, impl=impl_resolved)
         else:
             # Fused dispatch, chunked so no single program exceeds the
             # bound (chunks queue asynchronously; timing is unaffected).
+            state = init_state(cfg)
             bound = max_fused_steps(cfg)
 
             def advance(s, k):
@@ -81,17 +95,21 @@ def run_benchmark(n: int = 65536, steps: int = 20,
     sync(state.pos)
     compile_s = time.perf_counter() - t0
 
-    # Timed region: best of `trials` (the shared/relayed device shows
-    # load-dependent variance; peak throughput is the capability number).
-    elapsed = float("inf")
+    # Timed region: >= `trials` independent trials of `steps` each; the
+    # headline is the MEDIAN per-trial throughput, with the spread
+    # reported alongside (the relayed device carries load-dependent
+    # jitter — the judged number should not move with it; VERDICT r2 #4).
+    per_trial = []
     for _ in range(max(1, trials)):
         t0 = time.perf_counter()
         state = advance(state, steps)
         sync(state.pos)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        per_trial.append(time.perf_counter() - t0)
+    per_trial_g = sorted(n * n * steps / s / 1e9 for s in per_trial)
+    ginter = float(np.median(per_trial_g))
+    elapsed = float(np.median(per_trial))
 
     e1 = energy_f64(state, cfg.eps2) if energy else None
-    ginter = n * n * steps / elapsed / 1e9
     result = {
         "metric": "GInteractions/s",
         "value": round(ginter, 4),
@@ -99,8 +117,13 @@ def run_benchmark(n: int = 65536, steps: int = 20,
         "vs_baseline": round(ginter / BASELINE_GINTER_PER_S, 4),
         "n_bodies": n,
         "steps": steps,
+        "trials": len(per_trial),
         "impl": impl_resolved,
         "ms_per_step": round(elapsed / steps * 1000, 4),
+        "ginter_min": round(per_trial_g[0], 4),
+        "ginter_max": round(per_trial_g[-1], 4),
+        "spread_pct": round(100.0 * (per_trial_g[-1] - per_trial_g[0])
+                            / ginter, 2) if ginter else 0.0,
         "compile_plus_warmup_s": round(compile_s, 2),
         "backend": jax.default_backend(),
         "devices": jax.device_count() if shards else 1,

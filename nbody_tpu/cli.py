@@ -44,6 +44,7 @@ _ARG_TO_CFG = {
     "max_pos": "max_pos", "min_mass": "min_mass", "max_mass": "max_mass",
     "block_i": "block_i", "block_j": "block_j", "block_u": "block_u",
     "chunk": "chunk", "dtype": "dtype", "prog_cap": "prog_cap",
+    "flat_state": "flat_state",
 }
 
 
@@ -92,6 +93,13 @@ def _add_sim_args(p: argparse.ArgumentParser):
                         "impls split each force evaluation into bounded "
                         "programs; auto-engages when one fused step would "
                         "exceed ~1.2e13 interactions)")
+    p.add_argument("--flat-state", default=None, action=_TrackedStore,
+                   type=lambda s: {"auto": None, "on": True,
+                                   "off": False}[s],
+                   choices=[None, True, False], metavar="{auto,on,off}",
+                   help="flat (3N,) state layout (the >16M-body mode); "
+                        "auto engages above ~16.7M bodies for pallas_sym* "
+                        "impls (the (N,3) tiled-copy wall, docs/PERF.md)")
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
     p.add_argument("--comm", default="ring", choices=["ring", "allgather"])
@@ -107,6 +115,7 @@ def _make_cfg(args):
         block_i=args.block_i, block_j=args.block_j,
         block_u=getattr(args, "block_u", None), chunk=args.chunk,
         prog_cap=getattr(args, "prog_cap", None),
+        flat_state=getattr(args, "flat_state", None),
         dtype=getattr(args, "dtype", "float32"),
         viz=getattr(args, "viz", False),
         viz_every=getattr(args, "viz_every", 1) or 1,
@@ -145,19 +154,22 @@ def cmd_run(args) -> int:
         # compiled scan, then export to NPZ (nbody render consumes it).
         # Under bounded-program routing the fused scan is exactly the
         # over-long program the cap avoids — step in bounded chunks and
-        # collect snapshots host-side instead.
-        from .io.checkpoint import save_trajectory
+        # STREAM snapshots to the NPZ one at a time instead (host memory
+        # stays O(one snapshot); VERDICT r2 #6).
+        from .io.checkpoint import TrajectoryWriter, save_trajectory
         from .ops.forces_pallas_sym import DEFAULT_PROG_CAP
-        from .ops.step import (max_fused_steps, run_steps,
+        from .ops.step import (max_fused_steps, run_steps, run_steps_flat,
                                run_steps_multiprog, run_trajectory)
         snap_every = max(1, args.snap_every)
         whole_run = float(args.steps) * cfg.interactions_per_step
-        if sim._use_multiprog or whole_run > (cfg.prog_cap
-                                              or DEFAULT_PROG_CAP):
+        if sim._flat or sim._use_multiprog or whole_run > (
+                cfg.prog_cap or DEFAULT_PROG_CAP):
             state = sim.state
             bound = max_fused_steps(cfg)
 
             def advance(s, k):
+                if sim._flat:
+                    return run_steps_flat(s, cfg, k, impl=sim.impl)
                 if sim._use_multiprog:
                     return run_steps_multiprog(s, cfg, k, impl=sim.impl)
                 while k > 0:
@@ -165,26 +177,24 @@ def cmd_run(args) -> int:
                     k -= min(k, bound)
                 return s
 
-            collected = []
-            for _ in range(args.steps // snap_every):
-                state = advance(state, snap_every)
-                collected.append(np.asarray(state.pos))
-            rem = args.steps - (args.steps // snap_every) * snap_every
-            if rem:
-                state = advance(state, rem)
-            final = state
-            snaps = (np.stack(collected) if collected
-                     else np.empty((0,) + tuple(state.pos.shape), np.float32))
+            with TrajectoryWriter(args.save_trajectory, snap_every, cfg,
+                                  mass=np.asarray(state.mass)) as tw:
+                for _ in range(args.steps // snap_every):
+                    state = advance(state, snap_every)
+                    tw.append(np.asarray(state.pos))
+                rem = args.steps - (args.steps // snap_every) * snap_every
+                if rem:
+                    state = advance(state, rem)
+                n_snaps = tw.n_snaps
         else:
             final, snaps = run_trajectory(
                 sim.state, cfg, args.steps, snap_every=snap_every,
                 impl=sim.impl)
-        save_trajectory(args.save_trajectory, np.asarray(snaps),
-                        snap_every, cfg,
-                        mass=np.asarray(final.mass))
+            save_trajectory(args.save_trajectory, np.asarray(snaps),
+                            snap_every, cfg, mass=np.asarray(final.mass))
+            n_snaps = snaps.shape[0]
         if not args.quiet:
-            print(f"saved {snaps.shape[0]} snapshots -> "
-                  f"{args.save_trajectory}")
+            print(f"saved {n_snaps} snapshots -> {args.save_trajectory}")
         logger.close()
         return 0
     streamer = None
@@ -387,22 +397,28 @@ def cmd_interactive(args) -> int:
 
 def _load_trajectory(path: str) -> "tuple[np.ndarray, np.ndarray]":
     """Load (snapshots (T,N,3), mass (N,)) from a trajectory or checkpoint
-    NPZ.  Masses drive the reference's central visual semantic — the
-    mass->color lerp (simulation_visualization.cpp:46-56) — so they must be
-    the persisted per-body values, not fabricated uniforms."""
+    NPZ (both the monolithic and the streamed per-snapshot layouts;
+    streamed snapshots load lazily, one at a time).  Masses drive the
+    reference's central visual semantic — the mass->color lerp
+    (simulation_visualization.cpp:46-56) — so they must be the persisted
+    per-body values, not fabricated uniforms."""
     with np.load(path) as z:
-        if "snapshots" in z:
-            snaps = z["snapshots"]
-        else:  # checkpoint: single frame
+        if "pos" in z.files and "snapshots" not in z.files \
+                and not any(f.startswith("snap_") for f in z.files):
+            # checkpoint: single frame
             snaps = z["pos"][None]
-        if "mass" in z:
-            mass = z["mass"]
+            mass = z["mass"] if "mass" in z.files else None
         else:
-            # Legacy trajectory without masses: colors degenerate to flat
-            # green (weight 0) — warn so users re-export with masses.
-            print("warning: trajectory has no 'mass' array; rendering with "
-                  "uniform minimum mass (flat green)", file=sys.stderr)
-            mass = np.full((snaps.shape[1],), 1e5, np.float32)
+            snaps = mass = "defer"
+    if isinstance(snaps, str):
+        from .io.checkpoint import load_trajectory
+        snaps, mass, _ = load_trajectory(path)
+    if mass is None:
+        # Legacy trajectory without masses: colors degenerate to flat
+        # green (weight 0) — warn so users re-export with masses.
+        print("warning: trajectory has no 'mass' array; rendering with "
+              "uniform minimum mass (flat green)", file=sys.stderr)
+        mass = np.full((snaps.shape[1],), 1e5, np.float32)
     return snaps, mass
 
 

@@ -110,6 +110,14 @@ class SimConfig:
     max_view: float = DEFAULT_MAX_VIEW
     viz_every: int = 1
 
+    # Flat (3N,) state layout — the >16M-body mode.  None = auto: engages
+    # for pallas_sym* impls on a single device above
+    # ops.step.FLAT_AUTO_THRESHOLD bodies (where any device op consuming
+    # an (N, 3) array tile-copies at 42.7x — docs/PERF.md memory walls).
+    # True forces flat at any N (tests / validation); False forces the
+    # regular (N, 3) layout and fails past the wall.
+    flat_state: Optional[bool] = None
+
     # Multi-chip: number of mesh shards ("auto" = all local devices).
     shards: Optional[int] = None
 

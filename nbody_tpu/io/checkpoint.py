@@ -23,13 +23,22 @@ from ..config import SimConfig
 from ..models.state import SimState
 
 
-def save_checkpoint(path: str, state: SimState, step: int,
+def _host_n3(arr) -> np.ndarray:
+    """Device array -> host (N, 3).  Flat (3N,) leaves reshape HOST-side
+    (a free view), so checkpoints written from ``FlatState`` runs are
+    byte-compatible with regular ones (render/resume/analyze interop)."""
+    a = np.asarray(arr)
+    return a.reshape(-1, 3) if a.ndim == 1 else a
+
+
+def save_checkpoint(path: str, state, step: int,
                     cfg: Optional[SimConfig] = None) -> None:
-    """Atomic NPZ checkpoint write (tmp file + rename)."""
+    """Atomic NPZ checkpoint write (tmp file + rename).  Accepts
+    ``SimState`` or ``FlatState`` (stored identically; see ``_host_n3``)."""
     payload = {
-        "pos": np.asarray(state.pos),
-        "vel": np.asarray(state.vel),
-        "acc": np.asarray(state.acc),
+        "pos": _host_n3(state.pos),
+        "vel": _host_n3(state.vel),
+        "acc": _host_n3(state.acc),
         "mass": np.asarray(state.mass),
         "step": np.asarray(step, dtype=np.int64),
     }
@@ -49,19 +58,31 @@ def save_checkpoint(path: str, state: SimState, step: int,
         raise
 
 
-def load_checkpoint(path: str, dtype=None
+def load_checkpoint(path: str, dtype=None, flat: bool = False
                     ) -> Tuple[SimState, int, Optional[SimConfig]]:
     """Load (state, step, config-or-None) from an NPZ checkpoint.
 
     ``dtype=None`` keeps the checkpoint's stored precision (a float64 run
-    resumes in float64 when x64 is enabled); pass a dtype to convert."""
+    resumes in float64 when x64 is enabled); pass a dtype to convert.
+    ``flat=True`` restores into a ``FlatState``: the (N,3)->(3N,) reshape
+    happens on the HOST copy before device transfer, so no (N, 3) device
+    array is ever created (the >16M-body tiled-copy wall)."""
+    from ..models.state import FlatState
     with np.load(path) as z:
-        state = SimState(
-            pos=jnp.asarray(z["pos"], dtype=dtype),
-            vel=jnp.asarray(z["vel"], dtype=dtype),
-            acc=jnp.asarray(z["acc"], dtype=dtype),
-            mass=jnp.asarray(z["mass"], dtype=dtype),
-        )
+        if flat:
+            state = FlatState(
+                pos=jnp.asarray(z["pos"].reshape(-1), dtype=dtype),
+                vel=jnp.asarray(z["vel"].reshape(-1), dtype=dtype),
+                acc=jnp.asarray(z["acc"].reshape(-1), dtype=dtype),
+                mass=jnp.asarray(z["mass"], dtype=dtype),
+            )
+        else:
+            state = SimState(
+                pos=jnp.asarray(z["pos"], dtype=dtype),
+                vel=jnp.asarray(z["vel"], dtype=dtype),
+                acc=jnp.asarray(z["acc"], dtype=dtype),
+                mass=jnp.asarray(z["mass"], dtype=dtype),
+            )
         step = int(z["step"])
         cfg = None
         if "config_json" in z:
@@ -69,6 +90,22 @@ def load_checkpoint(path: str, dtype=None
             known = {f.name for f in dataclasses.fields(SimConfig)}
             cfg = SimConfig(**{k: v for k, v in raw.items() if k in known})
     return state, step, cfg
+
+
+def load_checkpoint_meta(path: str
+                         ) -> Tuple[int, Optional[SimConfig], int]:
+    """Read (step, config-or-None, n_bodies) WITHOUT creating any device
+    array — lets ``Simulation.resume`` decide the state layout (flat vs
+    (N, 3)) before the big arrays are transferred."""
+    with np.load(path) as z:
+        step = int(z["step"])
+        n = int(z["mass"].shape[0])
+        cfg = None
+        if "config_json" in z:
+            raw = json.loads(bytes(z["config_json"].tobytes()).decode())
+            known = {f.name for f in dataclasses.fields(SimConfig)}
+            cfg = SimConfig(**{k: v for k, v in raw.items() if k in known})
+    return step, cfg, n
 
 
 def save_trajectory(path: str, snapshots: np.ndarray,
@@ -89,6 +126,119 @@ def save_trajectory(path: str, snapshots: np.ndarray,
         payload["config_json"] = np.frombuffer(
             json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8)
     np.savez_compressed(path, **payload)
+
+
+class TrajectoryWriter:
+    """INCREMENTAL trajectory writer: snapshots spill to the NPZ (zip) one
+    entry at a time, so peak host memory is O(one snapshot) regardless of
+    snapshot count (collecting then ``np.stack``-ing 100 snapshots at
+    N=8M peaked ~19 GB host RAM — VERDICT round 2 #6).
+
+    Writes ``snap_000000 ... snap_{k}``, plus ``mass`` / ``snap_every`` /
+    ``config_json`` / ``n_snaps`` metadata on close; ``load_trajectory``
+    reads both this layout and the monolithic ``snapshots`` layout.
+    Atomic: assembles in a tmp file, renamed into place on close."""
+
+    def __init__(self, path: str, snap_every: int,
+                 cfg: Optional[SimConfig] = None,
+                 mass: Optional[np.ndarray] = None,
+                 compress: bool = True):
+        import zipfile
+        self._path = path
+        self._snap_every = snap_every
+        self._cfg = cfg
+        self._mass = None if mass is None else np.asarray(mass)
+        self.n_snaps = 0
+        directory = os.path.dirname(os.path.abspath(path)) or "."
+        os.makedirs(directory, exist_ok=True)
+        fd, self._tmp = tempfile.mkstemp(dir=directory, suffix=".npz.tmp")
+        os.close(fd)
+        self._zf = zipfile.ZipFile(
+            self._tmp, "w",
+            zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED)
+
+    def _write_entry(self, name: str, arr: np.ndarray) -> None:
+        with self._zf.open(name + ".npy", "w", force_zip64=True) as f:
+            np.lib.format.write_array(f, np.ascontiguousarray(arr))
+
+    def append(self, pos) -> None:
+        """Append one position snapshot ((N,3) or flat (3N,); device or
+        host).  Flat snapshots reshape host-side."""
+        self._write_entry(f"snap_{self.n_snaps:06d}", _host_n3(pos))
+        self.n_snaps += 1
+
+    def close(self) -> None:
+        if self._zf is None:
+            return
+        try:
+            if self._mass is not None:
+                self._write_entry("mass", self._mass)
+            self._write_entry(
+                "snap_every", np.asarray(self._snap_every, dtype=np.int64))
+            self._write_entry(
+                "n_snaps", np.asarray(self.n_snaps, dtype=np.int64))
+            if self._cfg is not None:
+                self._write_entry("config_json", np.frombuffer(
+                    json.dumps(dataclasses.asdict(self._cfg)).encode(),
+                    dtype=np.uint8))
+            self._zf.close()
+            self._zf = None
+            os.replace(self._tmp, self._path)
+        except BaseException:
+            if self._zf is not None:
+                self._zf.close()
+                self._zf = None
+            if os.path.exists(self._tmp):
+                os.unlink(self._tmp)
+            raise
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class LazySnapshots:
+    """Sequence view over a streamed trajectory NPZ: snapshots load from
+    the zip ONE AT A TIME (O(one snapshot) host memory), with the same
+    iteration/indexing surface consumers use on the (T, N, 3) array."""
+
+    def __init__(self, npz, n_snaps: int):
+        self._z = npz
+        self._n = n_snaps
+        self.shape = ((n_snaps,) + tuple(npz["snap_000000"].shape)
+                      if n_snaps else (0, 0, 3))
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, k: int) -> np.ndarray:
+        if not -self._n <= k < self._n:
+            raise IndexError(k)
+        return self._z[f"snap_{k % self._n:06d}"]
+
+    def __iter__(self):
+        for k in range(self._n):
+            yield self[k]
+
+
+def load_trajectory(path: str):
+    """Load a trajectory NPZ -> (snapshots, mass-or-None, snap_every).
+
+    Handles both layouts: monolithic ``snapshots`` (T,N,3) arrays load
+    eagerly; streamed per-snapshot entries (``TrajectoryWriter``) return a
+    ``LazySnapshots`` view.  Caller owns closing nothing — the underlying
+    zip handle lives until the returned view is garbage-collected."""
+    z = np.load(path)
+    mass = z["mass"] if "mass" in z.files else None
+    snap_every = (int(np.ravel(z["snap_every"])[0])
+                  if "snap_every" in z.files else 1)
+    if "snapshots" in z.files:
+        return z["snapshots"], mass, snap_every
+    n = (int(np.ravel(z["n_snaps"])[0]) if "n_snaps" in z.files
+         else sum(1 for f in z.files if f.startswith("snap_")))
+    return LazySnapshots(z, n), mass, snap_every
 
 
 # --- Orbax adapter (optional; orbax-checkpoint is in the base image) -------

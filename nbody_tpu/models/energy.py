@@ -131,17 +131,18 @@ def total_energy_bounded(state, eps2: float,
         block_i, block_u = 256, 2048
         # Pad + transpose the j-side ONCE (each op consuming the (N, 3)
         # array costs a 42.7x tiled copy — docs/PERF.md; per-row-chunk
-        # repetition would multiply it ~N/row_chunk times).
+        # repetition would multiply it ~N/row_chunk times).  Row chunks
+        # re-slice from THIS (3, n_pad) copy too — never from state.pos.
         n_pad = round_up(n, block_u)
         posT = jnp.pad(state.pos, ((0, n_pad - n), (0, 0))).T
-        mass_row = jnp.pad(state.mass, (0, n_pad - n))[None, :]
+        mass_pad = jnp.pad(state.mass, (0, n_pad - n))
+        mass_row = mass_pad[None, :]
         interp = jax.default_backend() != "tpu"
+        row_chunk = round_up(row_chunk, block_i)
         for s in range(0, n, row_chunk):
-            rows = slice(s, min(s + row_chunk, n))
-            nr = rows.stop - s
-            nr_pad = round_up(nr, block_i)
-            pos_r = jnp.pad(state.pos[rows], ((0, nr_pad - nr), (0, 0)))
-            mass_r = jnp.pad(state.mass[rows], (0, nr_pad - nr))
+            stop = min(round_up(min(s + row_chunk, n), block_i), n_pad)
+            pos_r = posT[:, s:stop].T
+            mass_r = mass_pad[s:stop]
             pe += float(_pe_rows_padded(pos_r, mass_r, posT, mass_row,
                                         float(eps2), block_i, block_u,
                                         interp))
@@ -162,15 +163,105 @@ def total_energy_bounded(state, eps2: float,
     return ke - 0.5 * pe
 
 
+def total_energy_bounded_flat(flat, eps2: float,
+                              panel_bodies: int = 1 << 21,
+                              block_i: int = 256, block_u: int = 2048,
+                              max_prog_pairs: float = 3e11) -> float:
+    """``total_energy_bounded`` for FLAT ``(3N,)`` state — the >16M-body
+    mode, where no (N, 3) device array may exist (tiled-copy wall,
+    docs/PERF.md).  Positions are consumed panel-by-panel: each panel's
+    ``(3m,)`` slice reshapes to ``(m, 3)`` at panel size (safe — the wall
+    is only the full-length array), and the pair potential accumulates
+    over panel PAIRS through the bounded Pallas kernel, exploiting
+    symmetry (each unordered cross-panel pair evaluated once, doubled).
+    Self-pairs ride the mask-free kernel and their closed-form total
+    ``sum(m^2)/sqrt(eps2)`` is subtracted in f64, as in the regular path.
+    Partials combine in float64 on host; every program is bounded to
+    ``max_prog_pairs``."""
+    import jax
+    from .state import round_up
+    from ..ops.pe_pallas import _pe_rows_padded
+    n = flat.n
+    interp = jax.default_backend() != "tpu"
+    m = min(round_up(n, block_u), round_up(panel_bodies, block_u))
+    n_panels = -(-n // m)
+
+    def panel(a):
+        """Panel a as padded ((mp,3) pos, (mp,) mass); mp block_u-aligned."""
+        lo, hi = a * m, min((a + 1) * m, n)
+        mp = round_up(hi - lo, block_u)
+        p = flat.pos[3 * lo:3 * hi].reshape(hi - lo, 3)
+        mass = flat.mass[lo:hi]
+        return (jnp.pad(p, ((0, mp - (hi - lo)), (0, 0))),
+                jnp.pad(mass, (0, mp - (hi - lo))))
+
+    # Kinetic energy, panel-wise (f64 host combination).
+    ke = 0.0
+    for a in range(n_panels):
+        lo, hi = a * m, min((a + 1) * m, n)
+        v = flat.vel[3 * lo:3 * hi].reshape(hi - lo, 3)
+        ke += float(kinetic_energy(v, flat.mass[lo:hi]))
+
+    pe = 0.0
+    for a in range(n_panels):
+        pos_a, mass_a = panel(a)
+        posT_a, mass_row_a = pos_a.T, mass_a[None, :]
+        for b in range(a, n_panels):
+            if b == a:
+                posT_b, mass_row_b, nb = posT_a, mass_row_a, pos_a.shape[0]
+            else:
+                pos_b, mass_b = panel(b)
+                posT_b, mass_row_b, nb = (pos_b.T, mass_b[None, :],
+                                          pos_b.shape[0])
+            rows_per = round_up(
+                max(block_i, int(max_prog_pairs // max(nb, 1))), block_i)
+            part = 0.0
+            for s in range(0, pos_a.shape[0], rows_per):
+                stop = min(s + rows_per, pos_a.shape[0])
+                part += float(_pe_rows_padded(
+                    posT_a[:, s:stop].T, mass_a[s:stop], posT_b,
+                    mass_row_b, float(eps2), block_i, block_u, interp))
+            pe += part if b == a else 2.0 * part
+    m64 = np.asarray(flat.mass, dtype=np.float64)
+    pe -= float(np.sum(m64 * m64)) / float(eps2) ** 0.5
+    return ke - 0.5 * pe
+
+
+_delegation_warned = False
+
+
 def energy_f64(state, eps2: float, max_host_n: int = 262144) -> float:
     """Float64 host-side total energy (the drift-gate measurement).
 
     Above ``max_host_n`` bodies the exact host-f64 sweep is infeasible
     (O(N^2) on one core); delegates to ``total_energy_bounded`` (device
     f32 pairs, f64 partial combination) — the precision that matters for
-    the 1e-3-scale drift gates at those N."""
-    if state.pos.shape[0] > max_host_n:
+    the 1e-3-scale drift gates at those N.  The accuracy-class change is
+    warned ONCE per process so drift-gate callers see it (ADVICE r2).
+    ``FlatState`` inputs route to the flat bounded path (large N) or
+    convert host-side (small N) — no (N, 3) device array is created."""
+    from .state import is_flat
+    n = state.mass.shape[0] if is_flat(state) else state.pos.shape[0]
+    if n > max_host_n:
+        global _delegation_warned
+        if not _delegation_warned:
+            import warnings
+            warnings.warn(
+                f"energy_f64: N={n} > max_host_n={max_host_n}; delegating "
+                f"to total_energy_bounded (device float32 pair math, "
+                f"float64 partial combination) — accuracy class changes "
+                f"from host-f64 to device-f32 pairs", stacklevel=2)
+            _delegation_warned = True
+        if is_flat(state):
+            return total_energy_bounded_flat(state, eps2)
         return total_energy_bounded(state, eps2)
+    if is_flat(state):
+        from .state import SimState
+        state = SimState(
+            pos=np.asarray(state.pos).reshape(-1, 3),
+            vel=np.asarray(state.vel).reshape(-1, 3),
+            acc=np.asarray(state.acc).reshape(-1, 3),
+            mass=np.asarray(state.mass))
     pos = np.asarray(state.pos, dtype=np.float64)
     vel = np.asarray(state.vel, dtype=np.float64)
     mass = np.asarray(state.mass, dtype=np.float64)

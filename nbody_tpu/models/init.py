@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from .state import SimState
+from .state import FlatState, SimState
 
 
 def init_state(cfg: SimConfig, key: "jax.Array | None" = None) -> SimState:
@@ -34,12 +34,13 @@ def init_state(cfg: SimConfig, key: "jax.Array | None" = None) -> SimState:
     return SimState(pos=pos, vel=zeros, acc=zeros, mass=mass)
 
 
-def init_state_flat(cfg: SimConfig, key: "jax.Array | None" = None):
-    """Uniform random initial conditions as FLAT row-major arrays
-    (``pos (3N,)``, ``vel (3N,)``, ``acc (3N,)``, ``mass (N,)``) — the
-    >20M-body mode, where an ``(N, 3)`` array cannot exist on device
-    (tiled-copy wall, docs/PERF.md; drive with
-    ``ops.step.run_steps_multiprog_flat``).
+def init_state_flat(cfg: SimConfig,
+                    key: "jax.Array | None" = None) -> FlatState:
+    """Uniform random initial conditions as a ``FlatState`` (row-major
+    ``pos/vel/acc (3N,)``, ``mass (N,)``) — the >20M-body mode, where an
+    ``(N, 3)`` array cannot exist on device (tiled-copy wall,
+    docs/PERF.md; ``Simulation`` routes here automatically above
+    ``ops.step.FLAT_AUTO_THRESHOLD`` bodies).
 
     Same uniform-box distribution as ``init_state`` (each coordinate
     i.i.d. uniform over ±max_pos), but NOT bit-identical per seed — the
@@ -62,7 +63,7 @@ def init_state_flat(cfg: SimConfig, key: "jax.Array | None" = None):
         kmass, (n,), dtype=jnp.float32,
         minval=cfg.min_mass, maxval=cfg.max_mass)
     zeros = jnp.zeros((3 * n,), dtype=jnp.float32)
-    return pos, zeros, zeros, mass
+    return FlatState(pos=pos, vel=zeros, acc=zeros, mass=mass)
 
 
 def plummer_state(cfg: SimConfig, key: "jax.Array | None" = None,

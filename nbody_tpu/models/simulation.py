@@ -49,25 +49,43 @@ class Simulation:
     """Owns a state + config; runs chunks of compiled steps with host-side
     services (logging / checkpoints / viz / watchdog) between chunks."""
 
-    def __init__(self, cfg: SimConfig, state: Optional[SimState] = None,
+    def __init__(self, cfg: SimConfig, state=None,
                  logger: Optional[RunLogger] = None,
                  mesh=None):
+        from ..models.state import is_flat
+        from ..ops.step import should_use_flat, should_use_multiprog
         self.cfg = cfg
         self.logger = logger or RunLogger(quiet=True)
         self.mesh = mesh
         self.impl = resolve_impl(cfg)
-        self.state = state if state is not None else init_state(cfg)
+        # Flat (3N,) state layout above the (N, 3) tiled-copy wall (the
+        # >16M-body mode; docs/PERF.md memory walls) — single device only.
+        self._flat = mesh is None and should_use_flat(cfg, self.impl)
+        if state is None:
+            if self._flat:
+                from ..models.init import init_state_flat
+                state = init_state_flat(cfg)
+            else:
+                state = init_state(cfg)
+        elif self._flat and not is_flat(state):
+            from ..models.state import flat_from_state
+            state = flat_from_state(state)
+        self.state = state
         if cfg.integrator == "kdk":
-            self.state = prime_kdk(self.state, cfg, impl=self.impl)
+            if self._flat:
+                from ..ops.step import prime_kdk_flat
+                self.state = prime_kdk_flat(self.state, cfg, impl=self.impl)
+            else:
+                self.state = prime_kdk(self.state, cfg, impl=self.impl)
         self.step_count = 0
         # Bounded program granularity: an explicit cfg.prog_cap forces the
         # multi-program path; otherwise it engages automatically when one
         # fused force evaluation would exceed the default per-program bound
         # (execution-time-limited runtimes kill such programs — the fused
-        # N=4M exact step is ~71 s).  pallas_sym* single-device only.
-        from ..ops.step import should_use_multiprog
-        self._use_multiprog = (mesh is None
-                               and should_use_multiprog(cfg, self.impl))
+        # N=4M exact step is ~71 s).  pallas_sym* single-device only; the
+        # flat mode is always bounded-program.
+        self._use_multiprog = self._flat or (
+            mesh is None and should_use_multiprog(cfg, self.impl))
 
     @classmethod
     def resume(cls, path: str, cfg: Optional[SimConfig] = None,
@@ -80,8 +98,15 @@ class Simulation:
         config is the base and only those fields are overridden — resuming
         without re-passing the original --dt/--eps2/--n keeps the original
         physics.  ``n_bodies`` is always reconciled with the restored state
-        size (the GInter/s timer and shard padding depend on it)."""
-        state, step_count, saved_cfg = load_checkpoint(path)
+        size (the GInter/s timer and shard padding depend on it).
+
+        The state layout is decided from METADATA before the big arrays
+        transfer: a >16M-body checkpoint restores straight into flat
+        ``(3N,)`` device arrays (host-side reshape) so no (N, 3) device
+        array is ever created (docs/PERF.md tiled-copy wall)."""
+        from ..io.checkpoint import load_checkpoint_meta
+        from ..ops.step import should_use_flat
+        step_count, saved_cfg, n_saved = load_checkpoint_meta(path)
         if saved_cfg is not None and overrides is not None:
             cfg = saved_cfg.replace(**overrides)
         else:
@@ -89,12 +114,14 @@ class Simulation:
         if cfg is None:
             raise ValueError(
                 f"checkpoint {path} has no embedded config; pass cfg=")
-        if cfg.n_bodies != state.n:
+        if cfg.n_bodies != n_saved:
             import warnings
             warnings.warn(
-                f"checkpoint {path} holds {state.n} bodies but config says "
-                f"n_bodies={cfg.n_bodies}; using the checkpoint's {state.n}")
-            cfg = cfg.replace(n_bodies=state.n)
+                f"checkpoint {path} holds {n_saved} bodies but config says "
+                f"n_bodies={cfg.n_bodies}; using the checkpoint's {n_saved}")
+            cfg = cfg.replace(n_bodies=n_saved)
+        flat = should_use_flat(cfg, resolve_impl(cfg))
+        state, _, _ = load_checkpoint(path, flat=flat)
         sim = cls(cfg, state=state, logger=logger)
         sim.step_count = step_count
         return sim
@@ -104,6 +131,10 @@ class Simulation:
             from ..parallel.ring import run_steps_sharded
             self.state = run_steps_sharded(
                 self.state, self.cfg, self.mesh, n, impl=self.impl)
+        elif self._flat:
+            from ..ops.step import run_steps_flat
+            self.state = run_steps_flat(self.state, self.cfg, n,
+                                        impl=self.impl)
         elif self._use_multiprog:
             from ..ops.step import run_steps_multiprog
             self.state = run_steps_multiprog(
@@ -122,6 +153,14 @@ class Simulation:
         n_steps = n_steps if n_steps is not None else self.cfg.steps
         cfg = self.cfg
         timer = StepTimer(n_bodies=cfg.n_bodies)
+        if sort_every > 0 and self._flat:
+            # The Morton pass consumes (N, 3) arrays — exactly what flat
+            # mode exists to avoid; spatial order is a throughput tweak,
+            # not a correctness need, for the sym kernels.
+            import warnings
+            warnings.warn("sort_every is not supported in flat-state mode "
+                          "(the Morton pass needs (N, 3) arrays); skipping")
+            sort_every = 0
 
         e0 = energy_f64(self.state, cfg.eps2) if track_energy else None
         self.logger.banner(
@@ -153,6 +192,19 @@ class Simulation:
                            // (self.mesh.devices.size
                                if self.mesh is not None else 1))
             bound = max(1, int(cap // per_chip))
+            if per_chip > cap:
+                # Impls without a multi-program path (xla, one-sided
+                # pallas) cannot split ONE step: the single-step program
+                # still exceeds the cap and an execution-time-limited
+                # runtime will kill it (ADVICE r2) — tell the user to
+                # switch impl rather than let the worker die silently.
+                import warnings
+                warnings.warn(
+                    f"one step at N={cfg.n_bodies} costs {per_chip:.3g} "
+                    f"interactions/chip — past the ~{cap:.3g} per-program "
+                    f"bound, and impl={self.impl!r} has no bounded-program "
+                    f"path; expect execution-time-limited runtimes to kill "
+                    f"it (switch to a pallas_sym* impl)")
         batched_viz = (frame_streamer is not None and cfg.viz_every > 0
                        and self.mesh is None and not self._use_multiprog
                        # The batched path needs >= one frame per chunk.
@@ -196,7 +248,33 @@ class Simulation:
         done = 0
         frame_idx = 0
         first_chunk_s = 0.0
+        stopped = False
         pending_frames = None   # device handle of the previous chunk's maps
+
+        def _poll_control() -> bool:
+            """Run control from the frame streamer (the live viewer's
+            /stop /pause /resume — the reference's close-window-to-stop,
+            main.cpp:118, without killing the TPU process).  Returns True
+            when the run should stop; blocks while paused (the device is
+            idle between chunks, so pausing costs nothing)."""
+            ctl = getattr(frame_streamer, "control_state", None)
+            if ctl is None:
+                return False
+            state = ctl()
+            while state == "pause":
+                time.sleep(0.25)
+                state = ctl()
+            if state == "stop":
+                if checkpoint_path:
+                    save_checkpoint(checkpoint_path, self.state,
+                                    self.step_count, cfg)
+                self.logger.banner(
+                    f"== run stopped by viewer control at step "
+                    f"{self.step_count}"
+                    + (f" (checkpointed -> {checkpoint_path})"
+                       if checkpoint_path else "") + " ==")
+                return True
+            return False
 
         def _drain_pending():
             # Materialize + submit the previous chunk's frames.  Called
@@ -250,13 +328,21 @@ class Simulation:
             if (frame_streamer is not None and cfg.viz_every > 0
                     and not batched_viz and (
                         done % cfg.viz_every == 0 or done == n_steps)):
-                # Sharded path: render from the (gathered) state at chunk
-                # boundaries (the batched on-device path is single-chip).
-                from ..viz.raster import render_frame
-                frame = render_frame(
-                    self.state.pos, self.state.mass, cfg.min_mass,
-                    cfg.max_mass, cfg.max_view, cfg.viz_width,
-                    cfg.viz_height)
+                # Sharded/multiprog/flat paths: render from the state at
+                # chunk boundaries (the batched on-device path is
+                # single-chip fused only).
+                if self._flat:
+                    from ..viz.raster import colorize, render_weights_flat
+                    frame = colorize(render_weights_flat(
+                        self.state.pos, self.state.mass, cfg.min_mass,
+                        cfg.max_mass, cfg.max_view, cfg.viz_width,
+                        cfg.viz_height))
+                else:
+                    from ..viz.raster import render_frame
+                    frame = render_frame(
+                        self.state.pos, self.state.mass, cfg.min_mass,
+                        cfg.max_mass, cfg.max_view, cfg.viz_width,
+                        cfg.viz_height)
                 frame_streamer.submit(frame_idx, frame)
                 frame_idx += 1
 
@@ -279,10 +365,15 @@ class Simulation:
                     ginter_per_s=round(timer.ginter_per_s, 2),
                 )
 
+            if done < n_steps and _poll_control():
+                stopped = True
+                break
+
         _drain_pending()   # last chunk's frames
 
-        if checkpoint_path and checkpoint_every <= 0:
-            # A checkpoint path without a cadence means "save the end state".
+        if checkpoint_path and checkpoint_every <= 0 and not stopped:
+            # A checkpoint path without a cadence means "save the end state"
+            # (a viewer-stop already checkpointed inside _poll_control).
             save_checkpoint(checkpoint_path, self.state, self.step_count, cfg)
 
         e1 = energy_f64(self.state, cfg.eps2) if track_energy else None

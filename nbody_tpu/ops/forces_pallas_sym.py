@@ -62,6 +62,13 @@ _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 SYM_VARIANTS = ("vpu", "turbo", "turbo2", "mxu")
 
+# Bench-only ablation kernels (vpu_noj / vpu_fix0 / vpu_rc measurement
+# variants) live OUT of the production dispatch: ``ops/ablation_sym.py``
+# registers factories here via ``enable()``.  The hot-path factories below
+# handle only SYM_VARIANTS and delegate anything else to these registries.
+ABLATION_SYM_KERNELS: "dict[str, object]" = {}
+ABLATION_RECT_KERNELS: "dict[str, object]" = {}
+
 # Default interactions-per-program bound for the chunked dispatcher
 # (forces_pallas_sym_chunked): ~45 s at the exact tier's measured
 # ~266 GInter/s — safely under execution-time-limited runtimes (the axon
@@ -99,26 +106,6 @@ def _accum_j_vpu(dx, dy, dz, fj):
     sy = jnp.sum(fj * dy, axis=0, keepdims=True)
     sz = jnp.sum(fj * dz, axis=0, keepdims=True)
     return jnp.concatenate([sx, sy, sz], axis=0)
-
-
-def _accum_both_vpu_rc(xi, xjT, mass_row_j, mass_col_i, eps2):
-    """Liveness-reduced exact tile (experimental ``vpu_rc``): the (BI,U)
-    coordinate differences are RECOMPUTED per component in the accumulate
-    stage instead of staying live across it, shrinking the peak working
-    set from ~5 to ~3 (BI,U) buffers (+3 sub flops/pair) so larger j-tiles
-    fit VMEM.  Returns (acc_i (BI,3), acc_j (3,U) positive-magnitude)."""
-    d2 = ((xjT[0:1, :] - xi[:, 0:1]) * (xjT[0:1, :] - xi[:, 0:1])
-          + (xjT[1:2, :] - xi[:, 1:2]) * (xjT[1:2, :] - xi[:, 1:2])
-          + (xjT[2:3, :] - xi[:, 2:3]) * (xjT[2:3, :] - xi[:, 2:3]) + eps2)
-    inv = jax.lax.rsqrt(d2 * d2 * d2)
-    fi = mass_row_j * inv
-    fj = mass_col_i * inv
-    ai, aj = [], []
-    for c in range(3):
-        d = xjT[c:c + 1, :] - xi[:, c:c + 1]
-        ai.append(jnp.sum(fi * d, axis=1, keepdims=True))
-        aj.append(jnp.sum(fj * d, axis=0, keepdims=True))
-    return (jnp.concatenate(ai, axis=1), jnp.concatenate(aj, axis=0))
 
 
 def _bf16_split(x):
@@ -251,6 +238,13 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
     I = i-superblock, si = i-sub-block within it, dd = circular offset - 1;
     j-superblock = (I + 1 + dd) mod nb.  (lru_cache so every panel's
     pallas_call traces the SAME kernel object -> one Mosaic compilation.)"""
+    if variant in ABLATION_SYM_KERNELS:
+        return ABLATION_SYM_KERNELS[variant](eps2, nb, sub, block_i, block_u)
+    if variant not in ("vpu", "turbo", "turbo2", "mxu"):
+        raise ValueError(
+            f"unknown sym variant {variant!r}: production variants are "
+            f"{SYM_VARIANTS}; bench-only ablation variants register via "
+            f"nbody_tpu.ops.ablation_sym.enable()")
 
     def body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, pos_j_ref,
              mass_col_j_ref, acc_i_ref, acc_jT_ref):
@@ -291,22 +285,11 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
                 acc_i_ref[:] += ai
                 _scatter_add(acc_jT_ref, j_sb, aj)
             return
-        if variant == "vpu_rc":
-            ai, aj = _accum_both_vpu_rc(
-                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
-            acc_i_ref[:] += ai
-            _scatter_add(acc_jT_ref, j_sb, -aj)
-            return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
         if variant == "vpu":
             acc_i_ref[:] += _accum_i_vpu(dx, dy, dz, fi)
             _scatter_add(acc_jT_ref, j_sb, -_accum_j_vpu(dx, dy, dz, fj))
-        elif variant == "vpu_noj":      # ablation: i-side only (WRONG
-            acc_i_ref[:] += _accum_i_vpu(dx, dy, dz, fi)   # results)
-        elif variant == "vpu_fix0":     # ablation: scatter to a fixed slot
-            acc_i_ref[:] += _accum_i_vpu(dx, dy, dz, fi)
-            acc_jT_ref[0] = acc_jT_ref[0] - _accum_j_vpu(dx, dy, dz, fj)
         else:  # turbo
             acc_i_ref[:] += _accum_i_turbo(fi, xi, pos_j_ref[:], block_u)
             _scatter_add(acc_jT_ref, j_sb, _accum_j_turbo(fj, xi, xjT,
@@ -338,6 +321,13 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
     """Cross-panel kernel body: all (i in panel A) x (j in panel B) tiles,
     each once, two-sided.  Grid (ia, jb): acc_a blocked (accumulates across
     jb), acc_bT resident."""
+    if variant in ABLATION_RECT_KERNELS:
+        return ABLATION_RECT_KERNELS[variant](eps2, block_i, block_u)
+    if variant not in ("vpu", "turbo", "turbo2", "mxu"):
+        raise ValueError(
+            f"unknown sym variant {variant!r}: production variants are "
+            f"{SYM_VARIANTS}; bench-only ablation variants register via "
+            f"nbody_tpu.ops.ablation_sym.enable()")
 
     def body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref, pos_b_ref,
              mass_col_b_ref, acc_a_ref, acc_bT_ref):
@@ -372,12 +362,6 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
                     mass_col_b_ref[:], block_i, block_u)
                 acc_a_ref[:] += ai
                 _scatter_add(acc_bT_ref, jb, aj)
-            return
-        if variant == "vpu_rc":
-            ai, aj = _accum_both_vpu_rc(
-                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
-            acc_a_ref[:] += ai
-            _scatter_add(acc_bT_ref, jb, -aj)
             return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
@@ -640,36 +624,41 @@ def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
     n_pad = pos_p.shape[0]
     m = panel_nb * block_u
     panels = n_pad // m
+
+    if panels > 1:
+        # Compile-once multi-panel route: unrolling one pallas_call per
+        # panel and per panel PAIR makes the XLA program grow as
+        # panels + panels*(panels-1)/2 custom-call sites (~45 at N=1M) —
+        # measured 420 s of compile+warmup (VERDICT round 2 #2).  Instead
+        # scan the SAME two dynamic-offset programs the bounded-program
+        # dispatcher uses (3 pallas_call sites total, any panel count);
+        # accumulation order matches the unrolled loop per-slice, so the
+        # result is bit-identical (tests/test_pallas_sym.py gates this).
+        pos_flat = pos_p.reshape(-1)
+        acc = jnp.zeros_like(pos_flat)
+        acc = _sym_self_batch_prog(
+            pos_flat, mass_p, acc, jnp.arange(panels, dtype=jnp.int32),
+            eps2, block_i, block_u, panel_nb, variant, interpret)
+        pairs = [(a, b) for a in range(panels) for b in range(a + 1, panels)]
+        a_ids = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        b_ids = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        w = jnp.ones((len(pairs),), pos_flat.dtype)
+        acc = _sym_pair_batch_prog(
+            pos_flat, mass_p, acc, a_ids, b_ids, w, eps2,
+            block_i, block_u, panel_nb, variant, interpret)
+        return acc.reshape(n_pad, 3)
+
     posT = pos_p.T
-
-    # Per-slice narrow operands (never a full-length (N, 1) column — its
-    # 128x lane padding is the large-N OOM wall; see _sym_self_batch_prog).
-    pa = [pos_p[a * m:(a + 1) * m] for a in range(panels)]
-    paT = [posT[:, a * m:(a + 1) * m] for a in range(panels)]
-    mra = [mass_p[a * m:(a + 1) * m][None, :] for a in range(panels)]
-    mca = [mass_p[a * m:(a + 1) * m][:, None] for a in range(panels)]
-
-    acc = [None] * panels
-    for a in range(panels):
-        part = _diag_call(pa[a], paT[a], mra[a], eps2=eps2, nb=panel_nb,
-                          block_i=block_i, block_u=block_u,
-                          interpret=interpret)
-        if panel_nb >= 3:
-            acc_i, acc_jT = _sym_call(
-                pa[a], mca[a], paT[a], mra[a], eps2=eps2, nb=panel_nb,
-                block_i=block_i, block_u=block_u, variant=variant,
-                interpret=interpret)
-            part = part + acc_i + _unscatter(acc_jT)
-        acc[a] = part
-    for a in range(panels):
-        for b in range(a + 1, panels):
-            acc_a, acc_bT = _rect_call(
-                pa[a], mca[a], paT[b], mra[b], pa[b], mca[b], eps2=eps2,
-                nb_b=panel_nb, block_i=block_i, block_u=block_u,
-                variant=variant, interpret=interpret)
-            acc[a] = acc[a] + acc_a
-            acc[b] = acc[b] + _unscatter(acc_bT)
-    return jnp.concatenate(acc, axis=0)
+    mass_row = mass_p[None, :]
+    acc = _diag_call(pos_p, posT, mass_row, eps2=eps2, nb=panel_nb,
+                     block_i=block_i, block_u=block_u, interpret=interpret)
+    if panel_nb >= 3:
+        acc_i, acc_jT = _sym_call(
+            pos_p, mass_p[:, None], posT, mass_row, eps2=eps2, nb=panel_nb,
+            block_i=block_i, block_u=block_u, variant=variant,
+            interpret=interpret)
+        acc = acc + acc_i + _unscatter(acc_jT)
+    return acc
 
 
 @functools.partial(

@@ -28,6 +28,26 @@ from .forces_pallas_sym import DEFAULT_PROG_CAP
 _SYM_IMPL_VARIANTS = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
                       "pallas_sym_turbo2": "turbo2", "pallas_sym_mxu": "mxu"}
 
+# Above this many bodies, state must use the flat (3N,) layout end to end:
+# any device op consuming an (N, 3) array materializes a T(8,128) tiled
+# copy padding the minor dim 3->128 (42.7x — 8.06 GiB at N=16.8M, measured
+# OOM above ~20M; docs/PERF.md memory walls).  16.7M is the largest N
+# measured safe through the (N, 3)-entry chunked path.
+FLAT_AUTO_THRESHOLD = 1 << 24
+
+
+def should_use_flat(cfg: SimConfig, impl: str) -> bool:
+    """Single source of truth for flat-state routing: an explicit
+    ``cfg.flat_state`` wins; auto engages above ``FLAT_AUTO_THRESHOLD``
+    bodies for the pallas_sym* impls (the only family with a flat core)."""
+    if cfg.flat_state is not None:
+        if cfg.flat_state and impl not in _SYM_IMPL_VARIANTS:
+            raise ValueError(
+                f"flat-state mode requires a pallas_sym* impl, got {impl!r}")
+        return cfg.flat_state
+    return (impl in _SYM_IMPL_VARIANTS
+            and cfg.n_bodies > FLAT_AUTO_THRESHOLD)
+
 
 def should_use_multiprog(cfg: SimConfig, impl: str) -> bool:
     """Single source of truth for bounded-program routing: an explicit
@@ -228,6 +248,33 @@ def run_steps_multiprog_flat(pos_flat, vel_flat, acc_flat, mass,
         else:
             raise ValueError(f"unknown integrator {cfg.integrator!r}")
     return pos_flat, vel_flat, acc_flat
+
+
+def run_steps_flat(flat, cfg: SimConfig, n_steps: int,
+                   impl: "str | None" = None,
+                   max_prog_interactions: "float | None" = None):
+    """``FlatState``-level step driver (the product entry of the >16M-body
+    mode; ``Simulation`` routes here when ``should_use_flat`` engages).
+    Always bounded-program dispatch — at flat-mode N one fused step is far
+    past any per-program execution bound."""
+    from ..models.state import FlatState
+    pos, vel, acc = run_steps_multiprog_flat(
+        flat.pos, flat.vel, flat.acc, flat.mass, cfg, n_steps, impl=impl,
+        max_prog_interactions=max_prog_interactions)
+    return FlatState(pos=pos, vel=vel, acc=acc, mass=flat.mass)
+
+
+def prime_kdk_flat(flat, cfg: SimConfig, impl: "str | None" = None):
+    """Seed ``flat.acc = a(x_0)`` through the flat bounded dispatcher (the
+    flat analog of ``prime_kdk``)."""
+    from .forces_pallas_sym import forces_pallas_sym_chunked_flat
+    impl = impl or resolve_impl(cfg)
+    acc = forces_pallas_sym_chunked_flat(
+        flat.pos, flat.mass, cfg.eps2, block_i=cfg.block_i,
+        block_u=cfg.block_u, panel_nb=cfg.panel_nb,
+        variant=_SYM_IMPL_VARIANTS[impl],
+        max_prog_interactions=cfg.prog_cap or DEFAULT_PROG_CAP)
+    return flat._replace(acc=acc)
 
 
 @functools.partial(

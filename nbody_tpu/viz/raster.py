@@ -64,6 +64,51 @@ def render_weights(pos: jax.Array, mass: jax.Array,
     return splat[:-1].reshape(height, width)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "view_axis", "panel"))
+def render_weights_flat(pos_flat: jax.Array, mass: jax.Array,
+                        min_mass: float, max_mass: float, max_view: float,
+                        width: int = DEFAULT_WIDTH,
+                        height: int = DEFAULT_HEIGHT,
+                        view_axis: int = 2,
+                        panel: int = 1 << 21) -> jax.Array:
+    """``render_weights`` for FLAT ``(3N,)`` positions — the >16M-body
+    mode (no (N, 3) device array may exist; docs/PERF.md memory walls).
+
+    Scans body panels: each iteration reshapes one ``(3*panel,)`` slice to
+    ``(panel, 3)`` (safe at panel size), splats it, and max-combines into
+    the shared weight buffer.  Pixels are identical to ``render_weights``
+    on the equivalent (N, 3) array (same max-combine rule; order-free)."""
+    n = mass.shape[0]
+    axes = [a for a in range(3) if a != view_axis]
+    n_pad = -(-n // panel) * panel
+    pos_p = jnp.pad(pos_flat, (0, 3 * (n_pad - n)))
+    mass_p = jnp.pad(mass, (0, n_pad - n))
+
+    def body(splat, args):
+        p3, m = args
+        p = p3.reshape(panel, 3)
+        u = p[:, axes[0]] / max_view
+        v = p[:, axes[1]] / max_view
+        weight = jnp.clip((m - min_mass) / (max_mass - min_mass), 0.0, 1.0)
+        px = ((u + 1.0) * 0.5 * (width - 1)).astype(jnp.int32)
+        py = ((1.0 - (v + 1.0) * 0.5) * (height - 1)).astype(jnp.int32)
+        inside = ((u >= -1.0) & (u <= 1.0) & (v >= -1.0) & (v <= 1.0)
+                  & (m > 0.0))
+        flat_idx = jnp.where(inside, py * width + px, width * height)
+        w8 = (weight * 254.0 + 1.5).astype(jnp.uint8)
+        splat = splat.at[flat_idx].max(
+            jnp.where(inside, w8, jnp.uint8(0)))
+        return splat, None
+
+    splat0 = jnp.zeros((width * height + 1,), jnp.uint8)
+    splat, _ = jax.lax.scan(
+        body, splat0,
+        (pos_p.reshape(n_pad // panel, 3 * panel),
+         mass_p.reshape(n_pad // panel, panel)))
+    return splat[:-1].reshape(height, width)
+
+
 def _weight_lut() -> np.ndarray:
     """(256, 3) uint8 LUT: index 0 = background (black), 1..255 = the
     fragment shader's mix(green, red, w) (simulation_visualization.cpp:46-56)

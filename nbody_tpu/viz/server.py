@@ -5,11 +5,18 @@ The reference's UX is *watching the run evolve live*; headless TPU pods have
 no display, so the idiomatic equivalent is a tiny in-process HTTP server
 streaming the device-rendered frames to any browser:
 
-- ``/``          a minimal page with a live ``<img>``
+- ``/``          a minimal page with a live ``<img>`` + run controls
 - ``/stream``    ``multipart/x-mixed-replace`` PNG stream (the MJPEG
                  pattern; browsers render PNG parts natively, so the
                  existing zlib PNG encoders are reused — no JPEG dep)
 - ``/frame.png`` the latest frame (one-shot)
+- ``/stop`` ``/pause`` ``/resume``  run control (POST or GET): the
+                 reference's close-the-window-to-stop semantics
+                 (``glfwWindowShouldClose``, ``main.cpp:118``) without
+                 killing the TPU process (a killed client costs a
+                 multi-minute stale-grant stall on relayed backends).
+                 ``Simulation.run`` polls ``control_state()`` at chunk
+                 boundaries and checkpoints before stopping.
 
 ``LiveViewer`` implements the same ``submit(idx, frame)`` / ``close()``
 interface as ``FrameStreamer``, so it plugs straight into
@@ -29,11 +36,22 @@ import numpy as np
 _INDEX_HTML = b"""<!doctype html>
 <html><head><title>nbody_tpu live</title>
 <style>body{background:#111;color:#9e9;font-family:monospace;text-align:center}
-img{image-rendering:pixelated;border:1px solid #333;margin-top:1em}</style>
-</head><body>
+img{image-rendering:pixelated;border:1px solid #333;margin-top:1em}
+button{background:#222;color:#9e9;border:1px solid #474;margin:0 .3em;
+padding:.3em 1em;font-family:monospace;cursor:pointer}
+#st{color:#ee9}</style>
+<script>
+function ctl(p){fetch('/'+p,{method:'POST'}).then(r=>r.text())
+  .then(t=>{document.getElementById('st').textContent=t;});}
+</script></head><body>
 <h3>nbody_tpu &mdash; live simulation view</h3>
 <img src="/stream" alt="live frames">
 <p>green &rarr; red = light &rarr; heavy (the reference's mass lerp)</p>
+<p><button onclick="ctl('pause')">pause</button>
+<button onclick="ctl('resume')">resume</button>
+<button onclick="ctl('stop')">stop</button> <span id="st"></span></p>
+<p style="color:#666">stop ends the run cleanly at the next chunk
+boundary (checkpointing first when configured)</p>
 </body></html>
 """
 
@@ -55,13 +73,38 @@ class LiveViewer:
         self._seq = 0
         self._png: Optional[bytes] = None
         self._closed = False
+        self._control = "run"   # "run" | "pause" | "stop"
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):   # quiet
                 pass
 
+            def _reply_text(self, text: str):
+                body = text.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                cmd = self.path.lstrip("/")
+                if cmd in ("stop", "pause", "resume"):
+                    viewer._set_control(
+                        {"stop": "stop", "pause": "pause",
+                         "resume": "run"}[cmd])
+                    self._reply_text(f"{cmd} requested (applies at the "
+                                     f"next chunk boundary)")
+                else:
+                    self.send_error(404)
+
             def do_GET(self):
+                if self.path.lstrip("/") in ("stop", "pause", "resume"):
+                    return self.do_POST()   # curl-friendly
+                self._do_get()
+
+            def _do_get(self):
                 if self.path in ("/", "/index.html"):
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
@@ -121,6 +164,24 @@ class LiveViewer:
             if self._png is not None and self._seq > after:
                 return self._png
             return None
+
+    # -- run control -------------------------------------------------------
+    def _set_control(self, state: str) -> None:
+        with self._cond:
+            # stop is sticky: a later pause/resume cannot cancel it.
+            if self._control != "stop":
+                self._control = state
+            self._cond.notify_all()
+
+    def control_state(self) -> str:
+        """Current run-control request: "run", "pause", or "stop".
+        ``Simulation.run`` polls this at chunk boundaries."""
+        with self._cond:
+            return self._control
+
+    def request_stop(self) -> None:
+        """Programmatic stop (same path as the browser button)."""
+        self._set_control("stop")
 
     # -- frame_streamer interface -----------------------------------------
     def submit(self, idx: int, frame) -> None:

@@ -87,6 +87,16 @@ class TeeStreamer:
     def frames_written(self) -> int:
         return max((s.frames_written for s in self.sinks), default=0)
 
+    def control_state(self) -> str:
+        """Most-severe run-control request across sinks (stop > pause >
+        run); sinks without run control count as "run"."""
+        states = {s.control_state() for s in self.sinks
+                  if hasattr(s, "control_state")}
+        for sev in ("stop", "pause"):
+            if sev in states:
+                return sev
+        return "run"
+
     def close(self) -> None:
         errs = []
         for s in self.sinks:

@@ -33,8 +33,9 @@ def main():
 
     # Ablation: dynamic- vs fixed-slot scatter (force-only harness).
     from nbody_tpu.ops import forces_pallas_sym as fps
+    from nbody_tpu.ops import ablation_sym
     old = fps.SYM_VARIANTS
-    fps.SYM_VARIANTS = old + ("vpu_noj", "vpu_fix0")
+    ablation_sym.enable()
     try:
         import jax.numpy as jnp
         r = np.random.default_rng(0)

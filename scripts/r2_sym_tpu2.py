@@ -29,8 +29,9 @@ def time_forces(n, variant, block_i, block_u, panel_nb, reps=6):
     pos = jnp.asarray(r.uniform(-1e5, 1e5, (n, 3)).astype(np.float32))
     mass = jnp.asarray(r.uniform(1e5, 1e9, (n,)).astype(np.float32))
 
+    from nbody_tpu.ops import ablation_sym
     old = fps.SYM_VARIANTS
-    fps.SYM_VARIANTS = old + ("vpu_noj", "vpu_fix0")
+    ablation_sym.enable()
     try:
         def chain(p):
             def body(p, _):

@@ -69,8 +69,9 @@ def main():
     if "abl" in stages:
         # Fixed-slot scatter vs dynamic-slot scatter, bench harness.
         from nbody_tpu.ops import forces_pallas_sym as fps
+        from nbody_tpu.ops import ablation_sym
         old = fps.SYM_VARIANTS
-        fps.SYM_VARIANTS = old + ("vpu_noj", "vpu_fix0")
+        ablation_sym.enable()
         try:
             import jax.numpy as jnp
             r = np.random.default_rng(0)

@@ -34,7 +34,8 @@ def main():
     from nbody_tpu.oracle.numpy_oracle import oracle_forces, relative_mismatch
 
     log(f"backend: {jax.default_backend()}")
-    fps.SYM_VARIANTS = tuple(set(fps.SYM_VARIANTS) | {"vpu_rc"})
+    from nbody_tpu.ops import ablation_sym
+    ablation_sym.enable()
     fps._VMEM_BUDGET_BYTES = 24 * 1024 * 1024   # Mosaic is the arbiter
 
     # Accuracy spot-check first (compiled, small N — catches the platform

@@ -183,3 +183,52 @@ def test_frame_streamer(tmp_path):
     files = sorted(os.listdir(out))
     assert len(files) == 5
     assert files[0] == "frame_000000.png"
+
+
+def test_viewer_run_control_stops_run(tmp_path):
+    """Browser /stop ends a run cleanly at the next chunk boundary,
+    checkpointing first — the reference's close-window-to-stop semantics
+    (main.cpp:118) without killing the process (VERDICT r2 #7)."""
+    import urllib.request
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.viz.server import LiveViewer
+    viewer = LiveViewer(port=0)
+    try:
+        url = f"http://127.0.0.1:{viewer.port}"
+        assert viewer.control_state() == "run"
+        # pause -> resume round-trips; stop is sticky.
+        urllib.request.urlopen(f"{url}/pause", data=b"")
+        assert viewer.control_state() == "pause"
+        urllib.request.urlopen(f"{url}/resume", data=b"")
+        assert viewer.control_state() == "run"
+        urllib.request.urlopen(f"{url}/stop", data=b"")
+        urllib.request.urlopen(f"{url}/resume", data=b"")
+        assert viewer.control_state() == "stop"
+
+        cfg = SimConfig(n_bodies=64, impl="xla_nxn", viz_every=1,
+                        viz_width=32, viz_height=24)
+        sim = Simulation(cfg)
+        ckpt = str(tmp_path / "stopped.npz")
+        res = sim.run(n_steps=50, log_every=1, frame_streamer=viewer,
+                      checkpoint_path=ckpt)
+        assert res.steps_run < 50
+        assert os.path.exists(ckpt)
+        with np.load(ckpt) as z:
+            assert int(z["step"]) == res.steps_run
+    finally:
+        viewer.close()
+
+
+def test_tee_streamer_forwards_control(tmp_path):
+    from nbody_tpu.viz.server import LiveViewer
+    from nbody_tpu.viz.stream import TeeStreamer
+    viewer = LiveViewer(port=0)
+    try:
+        with FrameStreamer(str(tmp_path / "f")) as fs:
+            tee = TeeStreamer(fs, viewer)
+            assert tee.control_state() == "run"
+            viewer.request_stop()
+            assert tee.control_state() == "stop"
+    finally:
+        viewer.close()
