@@ -430,15 +430,24 @@ def cmd_render(args) -> int:
     snaps, mass = _load_trajectory(args.trajectory)
     cfg = SimConfig(n_bodies=snaps.shape[1])
     rendered = []
+    avi = None
+    if args.avi:
+        from .viz.avi import AviWriter
+        avi = AviWriter(args.avi, args.width, args.height, fps=args.fps)
     with FrameStreamer(args.out_dir) as fs:
         for i, pos in enumerate(snaps):
             frame = render_frame(
                 jnp.asarray(pos), jnp.asarray(mass), cfg.min_mass,
                 cfg.max_mass, args.max_view, args.width, args.height)
             fs.submit(i, frame)
+            if avi is not None:
+                avi.add(np.asarray(frame))
             if args.gif:
                 rendered.append(np.asarray(frame))
     print(f"rendered {snaps.shape[0]} frames -> {args.out_dir}")
+    if avi is not None:
+        avi.close()
+        print(f"wrote {snaps.shape[0]}-frame AVI -> {args.avi}")
     if args.gif:
         from .viz.gif import write_gif
         n = write_gif(args.gif, rendered, delay_cs=args.gif_delay_cs)
@@ -556,6 +565,13 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--gif", default=None, metavar="GIF",
                     help="additionally assemble frames into an animated GIF")
     rp.add_argument("--gif-delay-cs", type=int, default=4)
+    rp.add_argument("--avi", default=None, metavar="AVI",
+                    help="additionally write an MJPEG AVI video (long runs "
+                         "get one seekable file instead of thousands of "
+                         "PNGs; the reference's watch-it-evolve UX, "
+                         "simulation_visualization.cpp:165-169)")
+    rp.add_argument("--fps", type=int, default=25,
+                    help="AVI playback rate")
     rp.set_defaults(fn=cmd_render)
 
     anp = sub.add_parser(
