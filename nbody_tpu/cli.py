@@ -64,7 +64,7 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--impl", default="auto", action=_TrackedStore,
                    choices=["auto", "xla", "xla_nxn", "pallas",
                             "pallas_kahan", "pallas_mxu", "pallas_fast",
-                            "pallas_turbo", "pallas_sym",
+                            "pallas_turbo", "pallas_sym", "pallas_sym2",
                             "pallas_sym_turbo", "pallas_sym_turbo2",
                             "pallas_sym_mxu"],
                    help="force backend (reference kernel-type prompt)")

@@ -34,7 +34,8 @@ DEFAULT_MAX_VIEW = 200_000.0
 
 _VALID_IMPLS = ("auto", "xla", "xla_nxn", "pallas", "pallas_kahan",
                 "pallas_mxu", "pallas_fast", "pallas_turbo", "pallas_sym",
-                "pallas_sym_turbo", "pallas_sym_turbo2", "pallas_sym_mxu")
+                "pallas_sym2", "pallas_sym_turbo", "pallas_sym_turbo2",
+                "pallas_sym_mxu")
 _VALID_INTEGRATORS = ("reference", "kdk")
 
 

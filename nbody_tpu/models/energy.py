@@ -116,8 +116,13 @@ def total_energy_bounded(state, eps2: float,
     (``ops/pe_pallas.py``, ~4x the XLA sweep's pairs/s) on TPU and the
     XLA path elsewhere.  The pallas path computes self-pairs (mask-free
     kernel) and subtracts their closed-form total ``sum(m^2)/sqrt(eps2)``
-    afterwards — exact at r=0 where d2 == eps2."""
+    afterwards — exact at r=0 where d2 == eps2.
+
+    ``FlatState`` inputs route to ``total_energy_bounded_flat``."""
     import jax
+    from .state import is_flat
+    if is_flat(state):
+        return total_energy_bounded_flat(state, eps2)
     n = state.pos.shape[0]
     if row_chunk is None:
         row_chunk = max(1024, min(65536, int(max_prog_pairs // max(n, 1))))

@@ -33,7 +33,10 @@ def resolve_impl(cfg: SimConfig) -> str:
     if on_tpu:
         # Pair-symmetric exact kernel when the superblock padding is
         # negligible; small N keeps the one-sided kernel's auto-shrink.
-        return "pallas_sym" if cfg.n_bodies >= 16384 else "pallas"
+        # sym2 = the symmetric-weight exact tier (23 flops/pair — measured
+        # 303.8 vs 261.6 GInter/s at 1M, same oracle-exact contract;
+        # docs/PERF.md round 4).
+        return "pallas_sym2" if cfg.n_bodies >= 16384 else "pallas"
     return "xla"
 
 
@@ -50,8 +53,8 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
     if impl == "xla":
         return forces_chunked(pos, mass, cfg.eps2, chunk=cfg.chunk)
     if impl in ("pallas", "pallas_kahan", "pallas_mxu", "pallas_fast",
-                "pallas_turbo", "pallas_sym", "pallas_sym_turbo",
-                "pallas_sym_turbo2", "pallas_sym_mxu"):
+                "pallas_turbo", "pallas_sym", "pallas_sym2",
+                "pallas_sym_turbo", "pallas_sym_turbo2", "pallas_sym_mxu"):
         if pos.dtype != jnp.float32:
             raise ValueError(
                 f"pallas force kernels are float32-only (got {pos.dtype}); "
@@ -59,7 +62,8 @@ def compute_forces(pos: jax.Array, mass: jax.Array, cfg: SimConfig,
         if impl.startswith("pallas_sym"):
             # Pair-symmetric kernels (each pair computed once, N3L).
             from .forces_pallas_sym import forces_pallas_sym
-            variant = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
+            variant = {"pallas_sym": "vpu", "pallas_sym2": "vpu2",
+                       "pallas_sym_turbo": "turbo",
                        "pallas_sym_turbo2": "turbo2",
                        "pallas_sym_mxu": "mxu"}[impl]
             return forces_pallas_sym(

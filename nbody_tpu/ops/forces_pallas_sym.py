@@ -60,7 +60,16 @@ from ..models.state import round_up
 # reference's sharedMemPerBlock check, kernel.cu:637-641).
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
-SYM_VARIANTS = ("vpu", "turbo", "turbo2", "mxu")
+SYM_VARIANTS = ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu")
+
+# Variants whose kernels emit MASS-SCALED raw sums (the symmetric pair
+# weight F = m_i*m_j*inv is shared by both sides of each pair, so the
+# per-pair tensor F*d is computed ONCE and row- AND col-reduced — 23 VPU
+# flops/pair vs vpu's 26; callers divide by the receiving body's mass
+# OUTSIDE the kernel, one cheap XLA elementwise per output).  ``turbof``
+# is the MXU twin: ONE bf16 weight matrix feeds both accumulation
+# matmuls (turbo builds two).
+_MASS_SCALED_VARIANTS = ("vpu2", "turbof")
 
 # Bench-only ablation kernels (vpu_noj / vpu_fix0 / vpu_rc measurement
 # variants) live OUT of the production dispatch: ``ops/ablation_sym.py``
@@ -89,6 +98,45 @@ def _pair_terms(xi, xjT, mass_row_j, mass_col_i, eps2):
     fi = mass_row_j * inv                  # (BI, U): m_j weights acc_i
     fj = mass_col_i * inv                  # (BI, U): m_i weights acc_j
     return dx, dy, dz, fi, fj
+
+
+def _pair_products_sym(xi, xjT, mass_row_j, mass_col_i, eps2):
+    """vpu2 exact tile: the symmetric pair weight ``F = m_i m_j inv`` is
+    shared by BOTH sides, so the weighted difference tensor ``F*d`` is
+    computed once per component and reduced along rows (i-side) AND
+    columns (j-side) — 23 VPU flops per pair delivering two interactions
+    (11.5/interaction) vs vpu's 26 (13): 3 sub, 6 d2+eps2, 2 cube,
+    1 rsqrt, 2 weight, 3 product, 6 reduce-adds.  Raw sums carry the
+    receiving body's mass as a factor; callers scale by 1/m_i (1/m_j for
+    the scatter side) outside the kernel (``_inv_mass_scale``) — zero-mass
+    ghosts map to weight 0 there, so ghosts stay inert.
+
+    Same force-law contract as every tier (d2 = |r|^2 + eps2,
+    inv = rsqrt(d2^3), kernel.cu:9-29); the reassociation
+    (m_i m_j inv) d / m_i vs (m_j inv) d costs ~1-2 extra ulp per term —
+    same exact accuracy class (oracle-gated).
+    Returns (acc_i_raw (BI,3), acc_j_raw (3,U) positive magnitude)."""
+    dx = xjT[0:1, :] - xi[:, 0:1]
+    dy = xjT[1:2, :] - xi[:, 1:2]
+    dz = xjT[2:3, :] - xi[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz + eps2
+    f = (mass_col_i * mass_row_j) * jax.lax.rsqrt(d2 * d2 * d2)
+    ai, aj = [], []
+    for d in (dx, dy, dz):
+        p = f * d
+        ai.append(jnp.sum(p, axis=1, keepdims=True))
+        aj.append(jnp.sum(p, axis=0, keepdims=True))
+    return jnp.concatenate(ai, axis=1), jnp.concatenate(aj, axis=0)
+
+
+def _inv_mass_scale(raw, mass, variant):
+    """Undo the mass-scaled raw sums of ``_MASS_SCALED_VARIANTS``:
+    raw (m, 3) * (1/mass) per body; ghosts (mass 0) map to 0 (their raw
+    sums are exactly 0 anyway — every term carries their own mass)."""
+    if variant not in _MASS_SCALED_VARIANTS:
+        return raw
+    w = jnp.where(mass > 0, 1.0 / mass, 0.0)
+    return raw * w[:, None]
 
 
 def _accum_i_vpu(dx, dy, dz, fi):
@@ -142,6 +190,25 @@ def _accum_j_turbo(fj, xi, xjT, block_i):
         xi8, fj.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # (8, U)
     return (out8[0:3, :] + out8[3:6, :]) - xjT * out8[6:7, :]
+
+
+def _accum_both_turbof(fb, xi, xjT, pos_j, block_i, block_u):
+    """turbof: both accumulations on the MXU from the SAME bf16 symmetric
+    weight matrix ``fb = bf16(m_i m_j inv)`` — one weight product and one
+    cast per pair (turbo needs two of each).  Raw sums are mass-scaled;
+    callers apply the 1/m post-scale (``_inv_mass_scale``).  Same loose
+    accuracy contract as turbo (bf16 weight, ~0.4%/pair)."""
+    xj8 = _pack8(pos_j, block_u)                           # (U, 8) bf16
+    out = jax.lax.dot_general(
+        fb, xj8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (BI, 8)
+    ai = (out[:, 0:3] + out[:, 3:6]) - xi * out[:, 6:7]
+    xi8 = _pack8(xi, block_i)                              # (BI, 8) bf16
+    out8 = jax.lax.dot_general(
+        xi8, fb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (8, U)
+    aj = (out8[0:3, :] + out8[3:6, :]) - xjT * out8[6:7, :]
+    return ai, aj
 
 
 def _mass_folded_pack(x, m_col, n_rows):
@@ -240,7 +307,7 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
     pallas_call traces the SAME kernel object -> one Mosaic compilation.)"""
     if variant in ABLATION_SYM_KERNELS:
         return ABLATION_SYM_KERNELS[variant](eps2, nb, sub, block_i, block_u)
-    if variant not in ("vpu", "turbo", "turbo2", "mxu"):
+    if variant not in ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu"):
         raise ValueError(
             f"unknown sym variant {variant!r}: production variants are "
             f"{SYM_VARIANTS}; bench-only ablation variants register via "
@@ -266,13 +333,20 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
         # int32 constant: lax.rem is strict about dtypes, and an x64-enabled
         # process would promote a bare Python int to int64.
         j_sb = jax.lax.rem(i_sb + 1 + dd, jnp.int32(nb))
-        if variant in ("turbo2", "mxu"):
+        if variant in ("turbo2", "mxu", "turbof"):
             dx = xjT[0:1, :] - xi[:, 0:1]
             dy = xjT[1:2, :] - xi[:, 1:2]
             dz = xjT[2:3, :] - xi[:, 2:3]
             d2 = dx * dx + dy * dy + dz * dz + eps2
             inv = jax.lax.rsqrt(d2 * d2 * d2)
-            if variant == "turbo2":
+            if variant == "turbof":
+                fb = ((mass_col_ref[:] * mass_row_ref[:])
+                      * inv).astype(jnp.bfloat16)
+                ai, aj = _accum_both_turbof(fb, xi, xjT, pos_j_ref[:],
+                                            block_i, block_u)
+                acc_i_ref[:] += ai
+                _scatter_add(acc_jT_ref, j_sb, aj)
+            elif variant == "turbo2":
                 ib = inv.astype(jnp.bfloat16)
                 acc_i_ref[:] += _accum_i_turbo2(
                     ib, xi, pos_j_ref[:], mass_col_j_ref[:], block_u)
@@ -284,6 +358,12 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
                     mass_col_j_ref[:], block_i, block_u)
                 acc_i_ref[:] += ai
                 _scatter_add(acc_jT_ref, j_sb, aj)
+            return
+        if variant == "vpu2":
+            ai, aj = _pair_products_sym(
+                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+            acc_i_ref[:] += ai
+            _scatter_add(acc_jT_ref, j_sb, -aj)
             return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
@@ -301,7 +381,7 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
             body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, None,
                  None, acc_i_ref, acc_jT_ref)
         return kernel
-    if variant == "turbo":
+    if variant in ("turbo", "turbof"):
         def kernel(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref,
                    pos_j_ref, acc_i_ref, acc_jT_ref):
             body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, pos_j_ref,
@@ -323,7 +403,7 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
     jb), acc_bT resident."""
     if variant in ABLATION_RECT_KERNELS:
         return ABLATION_RECT_KERNELS[variant](eps2, block_i, block_u)
-    if variant not in ("vpu", "turbo", "turbo2", "mxu"):
+    if variant not in ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu"):
         raise ValueError(
             f"unknown sym variant {variant!r}: production variants are "
             f"{SYM_VARIANTS}; bench-only ablation variants register via "
@@ -344,13 +424,20 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
 
         xi = pos_a_ref[:]
         xjT = posT_b_ref[:]
-        if variant in ("turbo2", "mxu"):
+        if variant in ("turbo2", "mxu", "turbof"):
             dx = xjT[0:1, :] - xi[:, 0:1]
             dy = xjT[1:2, :] - xi[:, 1:2]
             dz = xjT[2:3, :] - xi[:, 2:3]
             d2 = dx * dx + dy * dy + dz * dz + eps2
             inv = jax.lax.rsqrt(d2 * d2 * d2)
-            if variant == "turbo2":
+            if variant == "turbof":
+                fb = ((mass_col_ref[:] * mass_row_ref[:])
+                      * inv).astype(jnp.bfloat16)
+                ai, aj = _accum_both_turbof(fb, xi, xjT, pos_b_ref[:],
+                                            block_i, block_u)
+                acc_a_ref[:] += ai
+                _scatter_add(acc_bT_ref, jb, aj)
+            elif variant == "turbo2":
                 ib = inv.astype(jnp.bfloat16)
                 acc_a_ref[:] += _accum_i_turbo2(
                     ib, xi, pos_b_ref[:], mass_col_b_ref[:], block_u)
@@ -362,6 +449,12 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
                     mass_col_b_ref[:], block_i, block_u)
                 acc_a_ref[:] += ai
                 _scatter_add(acc_bT_ref, jb, aj)
+            return
+        if variant == "vpu2":
+            ai, aj = _pair_products_sym(
+                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+            acc_a_ref[:] += ai
+            _scatter_add(acc_bT_ref, jb, -aj)
             return
         dx, dy, dz, fi, fj = _pair_terms(
             xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
@@ -379,7 +472,7 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
             body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref, None,
                  None, acc_a_ref, acc_bT_ref)
         return kernel
-    if variant == "turbo":
+    if variant in ("turbo", "turbof"):
         def kernel(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref,
                    pos_b_ref, acc_a_ref, acc_bT_ref):
             body(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref,
@@ -451,7 +544,7 @@ def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
                          lambda I, si, dd, _nb=nb: (0, (I + 1 + dd) % _nb),
                          memory_space=pltpu.VMEM))
         operands.append(mass_row_p)
-    if variant in ("turbo", "turbo2", "mxu"):
+    if variant in ("turbo", "turbof", "turbo2", "mxu"):
         in_specs.append(
             pl.BlockSpec((block_u, 3),
                          lambda I, si, dd, _nb=nb: ((I + 1 + dd) % _nb, 0),
@@ -508,7 +601,7 @@ def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, mass_col_b, *,
             pl.BlockSpec((1, block_u), lambda ia, jb: (0, jb),
                          memory_space=pltpu.VMEM))
         operands.append(mass_row_b)
-    if variant in ("turbo", "turbo2", "mxu"):
+    if variant in ("turbo", "turbof", "turbo2", "mxu"):
         in_specs.append(
             pl.BlockSpec((block_u, 3), lambda ia, jb: (jb, 0),
                          memory_space=pltpu.VMEM))
@@ -560,7 +653,7 @@ def resolve_block_u(block_u: "int | None", n: int,
     optimum sits at 2048 (414 vs 389 at 1M)."""
     if block_u is not None:
         return block_u
-    if variant in ("turbo", "turbo2"):
+    if variant in ("turbo", "turbof", "turbo2"):
         # 2048 wins from 65k up (350.8 vs 308 G/s at 65k, 414.5 vs 389 at
         # 1M); below that, superblock rounding would pad >10% ghosts.
         return 2048 if n >= 65536 else 1024
@@ -657,7 +750,8 @@ def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
             pos_p, mass_p[:, None], posT, mass_row, eps2=eps2, nb=panel_nb,
             block_i=block_i, block_u=block_u, variant=variant,
             interpret=interpret)
-        acc = acc + acc_i + _unscatter(acc_jT)
+        acc = acc + _inv_mass_scale(acc_i + _unscatter(acc_jT), mass_p,
+                                    variant)
     return acc
 
 
@@ -679,8 +773,8 @@ def _rect_sym_padded(pos_a, mass_a, pos_b, mass_b, eps2, block_i, block_u,
             pos_b[sl], mass_b[sl][:, None], eps2=eps2, nb_b=nb_b,
             block_i=block_i, block_u=block_u, variant=variant,
             interpret=interpret)
-        acc_a = acc_a + aa
-        acc_b.append(_unscatter(abT))
+        acc_a = acc_a + _inv_mass_scale(aa, mass_a, variant)
+        acc_b.append(_inv_mass_scale(_unscatter(abT), mass_b[sl], variant))
     return acc_a, jnp.concatenate(acc_b, axis=0)
 
 
@@ -764,7 +858,8 @@ def _sym_self_batch_prog(pos_flat, mass_p, acc_flat, a_ids, eps2, block_i,
                 pa, ma[:, None], paT, ma[None, :], eps2=eps2, nb=panel_nb,
                 block_i=block_i, block_u=block_u, variant=variant,
                 interpret=interpret)
-            part = part + acc_i + _unscatter(acc_jT)
+            part = part + _inv_mass_scale(acc_i + _unscatter(acc_jT), ma,
+                                          variant)
         cur = jax.lax.dynamic_slice(acc, (o,), (3 * m,))
         acc = jax.lax.dynamic_update_slice(
             acc, cur + part.reshape(-1), (o,))
@@ -802,12 +897,14 @@ def _sym_pair_batch_prog(pos_flat, mass_p, acc_flat, a_ids, b_ids, w, eps2,
             pa, ma[:, None], pb.T, mb[None, :], pb, mb[:, None],
             eps2=eps2, nb_b=panel_nb, block_i=block_i, block_u=block_u,
             variant=variant, interpret=interpret)
+        acc_a = _inv_mass_scale(acc_a, ma, variant)
+        acc_b = _inv_mass_scale(_unscatter(acc_bT), mb, variant)
         cur_a = jax.lax.dynamic_slice(acc, (oa,), (3 * m,))
         acc = jax.lax.dynamic_update_slice(
             acc, cur_a + wt * acc_a.reshape(-1), (oa,))
         cur_b = jax.lax.dynamic_slice(acc, (ob,), (3 * m,))
         acc = jax.lax.dynamic_update_slice(
-            acc, cur_b + wt * _unscatter(acc_bT).reshape(-1), (ob,))
+            acc, cur_b + wt * acc_b.reshape(-1), (ob,))
         return acc, None
 
     acc, _ = jax.lax.scan(body, acc_flat, (a_ids, b_ids, w))

@@ -25,7 +25,8 @@ from .forces import compute_forces, resolve_impl
 from .forces_pallas_sym import DEFAULT_PROG_CAP
 
 
-_SYM_IMPL_VARIANTS = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
+_SYM_IMPL_VARIANTS = {"pallas_sym": "vpu", "pallas_sym2": "vpu2",
+                      "pallas_sym_turbo": "turbo",
                       "pallas_sym_turbo2": "turbo2", "pallas_sym_mxu": "mxu"}
 
 # Above this many bodies, state must use the flat (3N,) layout end to end:

@@ -35,7 +35,7 @@ from .mesh import SHARD_AXIS
 # antipodal step of the even-P sym ring).  The pair-symmetric impls map to
 # their one-sided accuracy twins where a one-sided sweep is required.
 _RECT_VARIANTS = {"pallas": "vpu", "pallas_sym": "vpu",
-                  "pallas_kahan": "vpu_kahan",
+                  "pallas_sym2": "vpu", "pallas_kahan": "vpu_kahan",
                   "pallas_mxu": "mxu", "pallas_fast": "fast",
                   "pallas_turbo": "turbo", "pallas_sym_turbo": "turbo",
                   "pallas_sym_turbo2": "turbo", "pallas_sym_mxu": "mxu"}
@@ -43,7 +43,8 @@ _RECT_VARIANTS = {"pallas": "vpu", "pallas_sym": "vpu",
 # impl -> pair-symmetric kernel variant: these route comm="ring" through
 # the N3L ring (ring_forces_local_sym), which computes every unordered
 # cross-shard pair ONCE.
-_SYM_VARIANTS = {"pallas_sym": "vpu", "pallas_sym_turbo": "turbo",
+_SYM_VARIANTS = {"pallas_sym": "vpu", "pallas_sym2": "vpu2",
+                 "pallas_sym_turbo": "turbo",
                  "pallas_sym_turbo2": "turbo2", "pallas_sym_mxu": "mxu"}
 
 

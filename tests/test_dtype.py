@@ -87,7 +87,7 @@ def test_auto_impl_routes_non_f32_to_xla():
 def test_auto_impl_prefers_sym_on_tpu(monkeypatch):
     import jax
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert resolve_impl(SimConfig(n_bodies=65536)) == "pallas_sym"
+    assert resolve_impl(SimConfig(n_bodies=65536)) == "pallas_sym2"
     assert resolve_impl(SimConfig(n_bodies=8192)) == "pallas"
 
 

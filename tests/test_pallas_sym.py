@@ -285,3 +285,114 @@ def test_flat_multiprog_matches_regular():
             forces_pallas_sym_chunked_flat
         forces_pallas_sym_chunked_flat(jnp.zeros((n, 3)),
                                        jnp.asarray(mass), 0.002)
+
+
+@pytest.mark.parametrize("n,bi,bu,pnb", [
+    (384, 64, 128, None),      # single panel, nb=3
+    (700, 64, 128, None),      # ragged N -> ghost padding
+    (3000, 64, 256, 5),        # multi-panel decomposition (3 panels)
+])
+def test_sym_vpu2_matches_oracle(n, bi, bu, pnb):
+    """vpu2 (symmetric pair weight, 23 flops/pair) keeps the EXACT-tier
+    contract: the m_i*m_j*inv reassociation + 1/m post-scale costs ~ulps,
+    not accuracy class."""
+    pos, _, mass = make_small_system(n, seed=31)
+    acc = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=bi, block_u=bu,
+        panel_nb=pnb, variant="vpu2"))
+    ref = oracle_forces(pos, mass, EPS2)
+    assert_matches_oracle(acc, ref, f"acc(sym2 {n})")
+
+
+def test_sym_vpu2_close_to_vpu():
+    """vpu2 vs vpu: same math up to reassociation — tiny relative gap."""
+    n = 2048
+    pos, _, mass = make_small_system(n, seed=33)
+    a1 = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=128,
+        block_u=256, variant="vpu"))
+    a2 = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=128,
+        block_u=256, variant="vpu2"))
+    err = np.abs(a2 - a1) / (np.abs(a1) + 1e-30)
+    assert np.percentile(err, 99) < 1e-4
+
+
+def test_sym_vpu2_chunked_matches_fused():
+    """The bounded dispatcher is bit-equal to the fused program for vpu2
+    (the 1/m scaling happens per-slice in the same order both ways)."""
+    from nbody_tpu.ops.forces_pallas_sym import forces_pallas_sym_chunked
+    pos, _, mass = make_small_system(3000, seed=34)
+    one = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=256,
+        panel_nb=5, variant="vpu2"))
+    many = np.asarray(forces_pallas_sym_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=256,
+        panel_nb=5, variant="vpu2", max_prog_interactions=3e6))
+    np.testing.assert_array_equal(one, many)
+
+
+def test_rect_sym_vpu2_matches_oracle():
+    """rect_forces_sym with vpu2 (the N3L-ring building block)."""
+    from nbody_tpu.ops.forces_pallas_sym import rect_forces_sym
+    pos, _, mass = make_small_system(1000, seed=35)
+    na = 400
+    aa, ab = rect_forces_sym(
+        jnp.asarray(pos[:na]), jnp.asarray(mass[:na]),
+        jnp.asarray(pos[na:]), jnp.asarray(mass[na:]), EPS2,
+        block_i=64, block_u=128, variant="vpu2")
+    # Oracle: cross-contributions only.
+    ref = oracle_forces(pos, mass, EPS2)
+    ref_self_a = oracle_forces(pos[:na], mass[:na], EPS2)
+    ref_self_b = oracle_forces(pos[na:], mass[na:], EPS2)
+    assert_matches_oracle(np.asarray(aa), ref[:na] - ref_self_a, "rect2 a")
+    assert_matches_oracle(np.asarray(ab), ref[na:] - ref_self_b, "rect2 b")
+
+
+def test_ring_sym2_matches_single_device():
+    """pallas_sym2 through the sharded N3L ring on the CPU mesh."""
+    import jax
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.models.state import SimState
+    from nbody_tpu.parallel.mesh import make_mesh
+    from nbody_tpu.parallel.ring import run_steps_sharded
+    from nbody_tpu.ops.step import run_steps
+    n = 512
+    pos, vel, mass = make_small_system(n, seed=36)
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym2", block_i=8,
+                    block_j=128, block_u=128)
+    state = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                     acc=jnp.zeros_like(jnp.asarray(pos)),
+                     mass=jnp.asarray(mass))
+    single = run_steps(state, cfg, 2, impl="pallas_sym2")
+    for p in (8, 5):
+        mesh = make_mesh(p)
+        ringed = run_steps_sharded(state, cfg, mesh, 2, impl="pallas_sym2",
+                                   comm="ring")
+        err = np.abs(np.asarray(ringed.pos) - np.asarray(single.pos)) / (
+            np.abs(np.asarray(single.pos)) + 1e-30)
+        assert np.percentile(err, 99.9) < 1e-4, f"P={p}"
+
+
+def test_sym_turbof_loose_tier():
+    """turbof (symmetric bf16 weight, both matmuls from one matrix) keeps
+    turbo's loose contract."""
+    n = 2048
+    pos, _, mass = make_small_system(n, seed=37)
+    acc = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=128, block_u=256,
+        variant="turbof"))
+    ref = oracle_forces(pos, mass, EPS2)
+    err = np.abs(acc - ref) / (np.abs(ref) + 1e-30)
+    assert np.percentile(err, 99) < 5e-2
+    assert relative_mismatch(acc, ref, 0.01, 1e-4).mean() < 0.1
+
+
+def test_sym_turbof_multi_panel():
+    pos, _, mass = make_small_system(3000, seed=38)
+    acc = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=256,
+        panel_nb=5, variant="turbof"))
+    ref = oracle_forces(pos, mass, EPS2)
+    err = np.abs(acc - ref) / (np.abs(ref) + 1e-30)
+    assert np.percentile(err, 99) < 5e-2
