@@ -237,3 +237,22 @@ def test_flat_trajectory_capture_cli(tmp_path):
     assert len(sf) == len(sr) == 2
     for k in range(2):
         np.testing.assert_array_equal(sf[k], sr[k])
+
+
+def test_cli_flat_resume(tmp_path):
+    """CLI --resume restores a flat run through the metadata-first path
+    and continues bit-identically to an uninterrupted run."""
+    from nbody_tpu.cli import main
+    ckpt = str(tmp_path / "r.npz")
+    common = ["--n", str(N), "--impl", "pallas_sym", "--flat-state", "on",
+              "--block-i", "8", "--block-u", "128", "--prog-cap", "5e5",
+              "--quiet"]
+    assert main(["run", "--steps", "2", "--checkpoint", ckpt] + common) == 0
+    assert main(["run", "--resume", ckpt, "--steps", "2",
+                 "--checkpoint", ckpt] + common) == 0
+    cont = Simulation(_flat_cfg())
+    res = cont.run(n_steps=4, log_every=0)
+    with np.load(ckpt) as z:
+        assert int(z["step"]) == 4
+        np.testing.assert_array_equal(
+            z["pos"], np.asarray(res.state.pos).reshape(-1, 3))
