@@ -2,7 +2,8 @@
 """Driver benchmark entry point: prints ONE JSON line.
 
 Headline config: N=1M single chip, exact pair-symmetric Pallas kernel
-(BASELINE.md config #3; impl=auto resolves to pallas_sym on TPU).
+(BASELINE.md config #3; impl=auto resolves to pallas_sym2 on TPU
+— the symmetric-weight exact tier, docs/PERF.md round 4).
 vs_baseline is the ratio to the 300 GInter/s/chip north-star from
 BASELINE.json.  The headline is the MEDIAN of >=3 independent trials of
 >=10 steps each, with min/max spread in the JSON (the relayed chip

@@ -48,6 +48,14 @@ _ARG_TO_CFG = {
 }
 
 
+def _parse_flat_state(s: str):
+    try:
+        return {"auto": None, "on": True, "off": False}[s]
+    except KeyError:
+        raise argparse.ArgumentTypeError(
+            f"expected auto, on, or off; got {s!r}") from None
+
+
 def _apply_dtype(args):
     """float64 state needs jax x64 enabled before any array is created."""
     if getattr(args, "dtype", "float32") == "float64":
@@ -94,8 +102,7 @@ def _add_sim_args(p: argparse.ArgumentParser):
                         "programs; auto-engages when one fused step would "
                         "exceed ~1.2e13 interactions)")
     p.add_argument("--flat-state", default=None, action=_TrackedStore,
-                   type=lambda s: {"auto": None, "on": True,
-                                   "off": False}[s],
+                   type=_parse_flat_state,
                    choices=[None, True, False], metavar="{auto,on,off}",
                    help="flat (3N,) state layout (the >16M-body mode); "
                         "auto engages above ~16.7M bodies for pallas_sym* "
@@ -123,7 +130,7 @@ def _make_cfg(args):
 
 
 def _make_sim(args, cfg, logger):
-    from .models.init import init_state, plummer_state
+    from .models.init import plummer_state
     from .models.simulation import Simulation
     mesh = None
     if args.shards:
@@ -133,12 +140,21 @@ def _make_sim(args, cfg, logger):
         explicit = getattr(args, "_explicit", set())
         overrides = {field: getattr(args, arg)
                      for arg, field in _ARG_TO_CFG.items() if arg in explicit}
-        sim = Simulation.resume(args.resume, cfg=cfg, logger=logger,
-                                overrides=overrides)
-        sim.mesh = mesh
-        return sim
-    state = (plummer_state(cfg) if args.init == "plummer"
-             else init_state(cfg))
+        return Simulation.resume(args.resume, cfg=cfg, logger=logger,
+                                 overrides=overrides, mesh=mesh)
+    # Uniform init is left to Simulation (state=None) so flat-state runs
+    # init DIRECTLY in the flat (3N,) layout — materializing an (N, 3)
+    # device state first would hit the exact tiled-copy wall flat mode
+    # exists to avoid (docs/PERF.md memory walls).
+    state = plummer_state(cfg) if args.init == "plummer" else None
+    if state is not None and mesh is None:
+        from .ops.forces import resolve_impl
+        from .ops.step import should_use_flat
+        if should_use_flat(cfg, resolve_impl(cfg)):
+            print("warning: --init plummer materializes (N, 3) state "
+                  "before the flat conversion; above ~16.7M bodies this "
+                  "hits the tiled-copy wall (docs/PERF.md)",
+                  file=sys.stderr)
     return Simulation(cfg, state=state, logger=logger, mesh=mesh)
 
 

@@ -70,6 +70,12 @@ class Simulation:
         elif self._flat and not is_flat(state):
             from ..models.state import flat_from_state
             state = flat_from_state(state)
+        elif not self._flat and is_flat(state):
+            # A FlatState handed to a non-flat Simulation (e.g. resumed
+            # checkpoint loaded flat, then re-run with flat off):
+            # convert host-side rather than crash deep in dispatch.
+            from ..models.state import state_from_flat
+            state = state_from_flat(state)
         self.state = state
         if cfg.integrator == "kdk":
             if self._flat:
@@ -90,7 +96,8 @@ class Simulation:
     @classmethod
     def resume(cls, path: str, cfg: Optional[SimConfig] = None,
                logger: Optional[RunLogger] = None,
-               overrides: Optional[dict] = None) -> "Simulation":
+               overrides: Optional[dict] = None,
+               mesh=None) -> "Simulation":
         """Resume from a checkpoint.
 
         When the checkpoint embeds a config and ``overrides`` is given
@@ -120,9 +127,11 @@ class Simulation:
                 f"checkpoint {path} holds {n_saved} bodies but config says "
                 f"n_bodies={cfg.n_bodies}; using the checkpoint's {n_saved}")
             cfg = cfg.replace(n_bodies=n_saved)
-        flat = should_use_flat(cfg, resolve_impl(cfg))
+        # Flat layout only on a single device (the sharded path consumes
+        # (N, 3) shards); mesh must be known HERE, not attached after.
+        flat = mesh is None and should_use_flat(cfg, resolve_impl(cfg))
         state, _, _ = load_checkpoint(path, flat=flat)
-        sim = cls(cfg, state=state, logger=logger)
+        sim = cls(cfg, state=state, logger=logger, mesh=mesh)
         sim.step_count = step_count
         return sim
 

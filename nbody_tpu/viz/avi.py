@@ -118,7 +118,7 @@ class AviWriter:
             f.write(b"00dc" + struct.pack("<3I", 0x10, off, size))
         total = f.tell()
         f.seek(self._movi_start + 4)
-        f.write(struct.pack("<I", movi_size + 4))
+        f.write(struct.pack("<I", movi_size))
         self._write_headers(len(self._idx), self._max_chunk)
         f.seek(4)
         f.write(struct.pack("<I", total - 8))

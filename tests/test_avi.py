@@ -35,6 +35,10 @@ def _parse_avi(path):
     assert data[24:28] == b"avih"
     n_frames = struct.unpack("<I", data[32 + 16:32 + 20])[0]
     movi = data.index(b"movi")
+    # The movi LIST's declared size must end exactly at idx1 (RIFF walkers
+    # resume parsing right after the list).
+    movi_size = struct.unpack("<I", data[movi - 4:movi])[0]
+    assert data[movi + movi_size:movi + movi_size + 4] == b"idx1"
     chunks = []
     p = movi + 4
     while data[p:p + 4] == b"00dc":

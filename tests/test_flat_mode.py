@@ -256,3 +256,30 @@ def test_cli_flat_resume(tmp_path):
         assert int(z["step"]) == 4
         np.testing.assert_array_equal(
             z["pos"], np.asarray(res.state.pos).reshape(-1, 3))
+
+
+def test_resume_flat_checkpoint_with_mesh(tmp_path):
+    """A flat-run checkpoint resumed onto a mesh must load the (N, 3)
+    layout (the sharded path consumes (N,3) shards; flat is single-device
+    only) — mesh is threaded into resume, not attached after."""
+    from nbody_tpu.parallel.mesh import make_mesh
+    ckpt = str(tmp_path / "f.npz")
+    Simulation(_flat_cfg(block_j=128)).run(
+        n_steps=1, log_every=0, checkpoint_path=ckpt)
+    sim = Simulation.resume(ckpt, logger=RunLogger(quiet=True),
+                            mesh=make_mesh(2))
+    assert not sim._flat
+    assert sim.state.pos.ndim == 2
+    res = sim.run(n_steps=1, log_every=0)
+    assert res.steps_run == 1
+
+
+def test_flat_state_into_non_flat_simulation_converts():
+    """A FlatState handed to a Simulation whose routing is non-flat is
+    converted host-side instead of crashing deep in kernel dispatch."""
+    from nbody_tpu.models.init import init_state_flat
+    flat = init_state_flat(_flat_cfg())
+    sim = Simulation(_reg_cfg(), state=flat)
+    assert sim.state.pos.ndim == 2
+    res = sim.run(n_steps=1, log_every=0)
+    assert res.steps_run == 1
