@@ -218,6 +218,10 @@ def cmd_run(args) -> int:
     if args.viz:
         from .viz.stream import FrameStreamer
         sinks.append(FrameStreamer(args.viz_dir))
+    if getattr(args, "viz_avi", None):
+        from .viz.avi import AviStreamer
+        sinks.append(AviStreamer(args.viz_avi, cfg.viz_width,
+                                 cfg.viz_height, fps=args.viz_fps))
     if getattr(args, "viz_serve", None) is not None:
         from .viz.server import LiveViewer
         viewer = LiveViewer(port=args.viz_serve)
@@ -509,6 +513,12 @@ def build_parser() -> argparse.ArgumentParser:
                       help="stream PNG frames (replaces the GL window)")
     runp.add_argument("--viz-dir", default="frames")
     runp.add_argument("--viz-every", type=int, default=1)
+    runp.add_argument("--viz-avi", default=None, metavar="AVI",
+                      help="write rendered frames into an MJPEG AVI video "
+                           "during the run (one seekable file instead of "
+                           "per-frame PNGs)")
+    runp.add_argument("--viz-fps", type=int, default=25,
+                      help="playback rate of --viz-avi")
     runp.add_argument("--viz-serve", type=int, default=None, metavar="PORT",
                       help="serve a live view over HTTP on this port "
                            "(the reference's 'watch it evolve' window, "

@@ -149,3 +149,30 @@ def write_avi(path: str, frames, fps: int = 25, quality: int = 85,
             av.add(fr)
         n = len(av._idx)
     return n
+
+
+class AviStreamer:
+    """``frame_streamer`` sink writing an MJPEG AVI DURING the run — the
+    third live-output option beside PNG frames (``FrameStreamer``) and
+    the HTTP viewer (``LiveViewer``); composable with both through
+    ``TeeStreamer``.  Long runs get one seekable video file instead of
+    thousands of PNGs (``nbody run --viz-avi out.avi``)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: int = 25,
+                 quality: int = 85):
+        self._writer = AviWriter(path, width, height, fps=fps,
+                                 quality=quality)
+        self.frames_written = 0
+
+    def submit(self, idx: int, frame) -> None:
+        self._writer.add(np.asarray(frame))
+        self.frames_written += 1
+
+    def close(self) -> None:
+        self._writer.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

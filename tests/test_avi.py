@@ -110,3 +110,14 @@ def test_cli_render_avi(tmp_path):
     assert rc == 0
     n_hdr, chunks, _ = _parse_avi(avi)
     assert n_hdr == 4 and len(chunks) == 4
+
+
+def test_cli_run_viz_avi(tmp_path):
+    """--viz-avi writes a playable AVI during a live run."""
+    from nbody_tpu.cli import main
+    avi = str(tmp_path / "run.avi")
+    rc = main(["run", "--n", "64", "--steps", "4", "--impl", "xla_nxn",
+               "--viz-avi", avi, "--viz-every", "2", "--quiet"])
+    assert rc == 0
+    n_hdr, chunks, _ = _parse_avi(avi)
+    assert n_hdr == len(chunks) == 2
