@@ -109,7 +109,11 @@ def _add_sim_args(p: argparse.ArgumentParser):
                         "impls (the (N,3) tiled-copy wall, docs/PERF.md)")
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
-    p.add_argument("--comm", default="ring", choices=["ring", "allgather"])
+    p.add_argument("--comm", default="ring",
+                   choices=["ring", "allgather", "rdma"],
+                   help="sharded sweep: ppermute ring (N3L for sym "
+                        "impls), Ulysses all-gather, or the fused "
+                        "in-kernel RDMA ring (parallel/rdma_ring.py)")
 
 
 def _make_cfg(args):
@@ -141,7 +145,8 @@ def _make_sim(args, cfg, logger):
         overrides = {field: getattr(args, arg)
                      for arg, field in _ARG_TO_CFG.items() if arg in explicit}
         return Simulation.resume(args.resume, cfg=cfg, logger=logger,
-                                 overrides=overrides, mesh=mesh)
+                                 overrides=overrides, mesh=mesh,
+                                 comm=getattr(args, "comm", "ring"))
     # Uniform init is left to Simulation (state=None) so flat-state runs
     # init DIRECTLY in the flat (3N,) layout — materializing an (N, 3)
     # device state first would hit the exact tiled-copy wall flat mode
@@ -155,7 +160,8 @@ def _make_sim(args, cfg, logger):
                   "before the flat conversion; above ~16.7M bodies this "
                   "hits the tiled-copy wall (docs/PERF.md)",
                   file=sys.stderr)
-    return Simulation(cfg, state=state, logger=logger, mesh=mesh)
+    return Simulation(cfg, state=state, logger=logger, mesh=mesh,
+                      comm=getattr(args, "comm", "ring"))
 
 
 def cmd_run(args) -> int:

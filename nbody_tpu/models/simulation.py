@@ -51,12 +51,13 @@ class Simulation:
 
     def __init__(self, cfg: SimConfig, state=None,
                  logger: Optional[RunLogger] = None,
-                 mesh=None):
+                 mesh=None, comm: str = "ring"):
         from ..models.state import is_flat
         from ..ops.step import should_use_flat, should_use_multiprog
         self.cfg = cfg
         self.logger = logger or RunLogger(quiet=True)
         self.mesh = mesh
+        self.comm = comm
         self.impl = resolve_impl(cfg)
         # Flat (3N,) state layout above the (N, 3) tiled-copy wall (the
         # >16M-body mode; docs/PERF.md memory walls) — single device only.
@@ -97,7 +98,7 @@ class Simulation:
     def resume(cls, path: str, cfg: Optional[SimConfig] = None,
                logger: Optional[RunLogger] = None,
                overrides: Optional[dict] = None,
-               mesh=None) -> "Simulation":
+               mesh=None, comm: str = "ring") -> "Simulation":
         """Resume from a checkpoint.
 
         When the checkpoint embeds a config and ``overrides`` is given
@@ -131,7 +132,7 @@ class Simulation:
         # (N, 3) shards); mesh must be known HERE, not attached after.
         flat = mesh is None and should_use_flat(cfg, resolve_impl(cfg))
         state, _, _ = load_checkpoint(path, flat=flat)
-        sim = cls(cfg, state=state, logger=logger, mesh=mesh)
+        sim = cls(cfg, state=state, logger=logger, mesh=mesh, comm=comm)
         sim.step_count = step_count
         return sim
 
@@ -139,7 +140,8 @@ class Simulation:
         if self.mesh is not None:
             from ..parallel.ring import run_steps_sharded
             self.state = run_steps_sharded(
-                self.state, self.cfg, self.mesh, n, impl=self.impl)
+                self.state, self.cfg, self.mesh, n, impl=self.impl,
+                comm=self.comm)
         elif self._flat:
             from ..ops.step import run_steps_flat
             self.state = run_steps_flat(self.state, self.cfg, n,

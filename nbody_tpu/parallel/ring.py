@@ -185,7 +185,10 @@ def allgather_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
 
 def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
                        n_steps: int, impl: str, comm: str, axis: str):
-    if comm == "ring" and impl in _SYM_VARIANTS:
+    if comm == "rdma":
+        from .rdma_ring import rdma_forces_local
+        force = rdma_forces_local
+    elif comm == "ring" and impl in _SYM_VARIANTS:
         force = ring_forces_local_sym
     elif comm == "ring":
         force = ring_forces_local
@@ -232,8 +235,9 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     the mesh, advanced entirely on-device, and unpadded on return (still
     sharded; pull with np.asarray when needed).
     """
-    if comm not in ("ring", "allgather"):
-        raise ValueError(f"comm must be 'ring' or 'allgather', got {comm!r}")
+    if comm not in ("ring", "allgather", "rdma"):
+        raise ValueError(
+            f"comm must be 'ring', 'allgather', or 'rdma', got {comm!r}")
     n_real = state.n
     p = mesh.shape[axis]
     state = pad_state_to(state, shard_padding(cfg, p))

@@ -1,0 +1,110 @@
+"""In-kernel RDMA ring sweep (parallel/rdma_ring.py), interpret mode on
+the virtual CPU mesh.
+
+The reference has no distributed story (single GPU, SURVEY.md section
+2.3); this is the rebuild's fused compute/communication path — the whole
+P-phase ring runs inside one Pallas kernel per chip, shards moving by
+explicit inter-device DMA.  Correctness bar: same exact-tier oracle gates
+as the ppermute ring (tests/test_ring.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu import SimConfig, SimState, run_steps
+from nbody_tpu.parallel.mesh import make_mesh
+from nbody_tpu.parallel.ring import run_steps_sharded
+from nbody_tpu.oracle.numpy_oracle import assert_matches_oracle, oracle_run
+from conftest import make_small_system
+
+
+def make_state(n, seed=0):
+    pos, vel, mass = make_small_system(n, seed=seed)
+    return SimState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        acc=jnp.zeros((n, 3), jnp.float32),
+        mass=jnp.asarray(mass)), pos, vel, mass
+
+
+@pytest.mark.parametrize("p", [8, 5, 3, 2, 1])
+def test_rdma_ring_matches_oracle(p):
+    """Every ring parity: P=1 degenerates to a comm-free local sweep; P=2
+    exercises the peeled first/last phases with an empty middle loop; odd
+    and even P >= 3 run the full double-buffered ack-gated pipeline."""
+    n, steps = 512, 3
+    state, pos, vel, mass = make_state(n, seed=40)
+    cfg = SimConfig(n_bodies=n, impl="pallas", block_i=8, block_j=128)
+    mesh = make_mesh(p)
+    out = run_steps_sharded(state, cfg, mesh, steps, impl="pallas",
+                            comm="rdma")
+    rpos, _, racc = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps)
+    assert_matches_oracle(np.asarray(out.pos), rpos, f"pos(rdma p={p})",
+                          abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.acc), racc, f"acc(rdma p={p})",
+                          abs_tol=1e-4)
+
+
+def test_rdma_matches_single_device():
+    """Sharded RDMA result == single-device result within the fp32
+    regrouping tolerance (phase order groups sums by source shard)."""
+    n, steps = 512, 5
+    state, *_ = make_state(n, seed=41)
+    cfg = SimConfig(n_bodies=n, impl="pallas", block_i=8, block_j=128)
+    out_sharded = run_steps_sharded(state, cfg, make_mesh(), steps,
+                                    impl="pallas", comm="rdma")
+    out_single = run_steps(state, cfg, steps, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.pos), np.asarray(out_single.pos),
+        rtol=1e-4, atol=1.0)
+
+
+def test_rdma_with_padding():
+    """N not divisible by P: zero-mass ghosts ride the ring inertly."""
+    n = 500
+    state, pos, vel, mass = make_state(n, seed=42)
+    cfg = SimConfig(n_bodies=n, impl="pallas", block_i=8, block_j=128)
+    out = run_steps_sharded(state, cfg, make_mesh(), 5, impl="pallas",
+                            comm="rdma")
+    assert out.n == n
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 5)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(rdma-pad)",
+                          abs_tol=1.0)
+
+
+def test_rdma_kdk_integrator():
+    """cfg.integrator routes identically through the RDMA comm path."""
+    from nbody_tpu.ops.step import prime_kdk
+    n, steps = 512, 5
+    state, pos, vel, mass = make_state(n, seed=43)
+    cfg = SimConfig(n_bodies=n, impl="pallas", block_i=8, block_j=128,
+                    integrator="kdk")
+    state = prime_kdk(state, cfg, impl="pallas")
+    out = run_steps_sharded(state, cfg, make_mesh(), steps, impl="pallas",
+                            comm="rdma")
+    rpos, rvel, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps,
+                               integrator="kdk")
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(rdma-kdk)",
+                          abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.vel), rvel, "vel(rdma-kdk)",
+                          abs_tol=1e-2)
+
+
+def test_rdma_cli_run():
+    """`nbody run --shards 8 --comm rdma` drives the RDMA ring through the
+    product Simulation surface."""
+    from nbody_tpu.cli import main
+    rc = main(["run", "--n", "512", "--steps", "3", "--impl", "pallas",
+               "--block-i", "8", "--block-j", "128", "--shards", "8",
+               "--comm", "rdma", "--quiet"])
+    assert rc == 0
+
+
+def test_rdma_vmem_budget_accounting():
+    """The v1 VMEM model: pos/acc lane-pad 3->128 (512 B/body each), the
+    posT/mass operands and both packed comm slots sublane-pad to 8 rows."""
+    from nbody_tpu.parallel.rdma_ring import _vmem_bytes
+    c = 4096
+    assert _vmem_bytes(c) == c * 512 * 2 + 8 * c * 4 * 2 + 2 * 8 * c * 4
+    # 8k bodies/shard fits the 14 MB budget; 32k does not.
+    assert _vmem_bytes(8192) < 14 * 1024 * 1024
+    assert _vmem_bytes(32768) > 14 * 1024 * 1024
