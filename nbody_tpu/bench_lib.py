@@ -45,6 +45,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
     impl_resolved = resolve_impl(cfg)
 
     mesh = None
+    used_flat = False
     if shards and shards > 1:
         from .parallel.mesh import make_mesh
         from .parallel.ring import run_steps_sharded
@@ -63,6 +64,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
             # tiled-copy wall, docs/PERF.md) — same routing as Simulation.
             from .models.init import init_state_flat
             state = init_state_flat(cfg)
+            used_flat = True
 
             def advance(s, k):
                 return run_steps_flat(s, cfg, k, impl=impl_resolved)
@@ -128,6 +130,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
         "backend": jax.default_backend(),
         "devices": jax.device_count() if shards else 1,
         "shards": shards or 1,
+        "flat": used_flat,
     }
     if energy and e0 is not None:
         scale = abs(e0) or 1.0

@@ -368,8 +368,9 @@ def cmd_bench(args) -> int:
         block_i=args.block_i, block_j=args.block_j, chunk=args.chunk,
         block_u=getattr(args, "block_u", None),
         prog_cap=getattr(args, "prog_cap", None),
+        flat_state=getattr(args, "flat_state", None),
         shards=args.shards or None, comm=args.comm,
-        energy=args.energy, warmup_steps=args.warmup)
+        energy=args.energy, warmup_steps=args.warmup, trials=args.trials)
     print(json.dumps(result))
     return 0
 
@@ -575,6 +576,8 @@ def build_parser() -> argparse.ArgumentParser:
     bp = sub.add_parser("bench", help="throughput benchmark")
     _add_sim_args(bp)
     bp.add_argument("--warmup", type=int, default=3)
+    bp.add_argument("--trials", type=int, default=3,
+                    help="independent timed trials; headline is the median")
     bp.add_argument("--energy", action="store_true")
     bp.set_defaults(fn=cmd_bench)
 

@@ -192,11 +192,28 @@ class TrajectoryWriter:
                 os.unlink(self._tmp)
             raise
 
+    def discard(self) -> None:
+        """Abandon the stream: close and remove the tmp file WITHOUT
+        committing over the destination."""
+        if self._zf is None:
+            return
+        self._zf.close()
+        self._zf = None
+        if os.path.exists(self._tmp):
+            os.unlink(self._tmp)
+
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        # Atomic semantics: only a run that exits the with-block cleanly
+        # commits (os.replace over the destination).  A failure mid-run
+        # (relay drop, Ctrl-C) must leave any previous complete
+        # trajectory at ``path`` untouched.
+        if exc_type is not None:
+            self.discard()
+        else:
+            self.close()
 
 
 class LazySnapshots:
@@ -235,9 +252,14 @@ def load_trajectory(path: str):
     snap_every = (int(np.ravel(z["snap_every"])[0])
                   if "snap_every" in z.files else 1)
     if "snapshots" in z.files:
-        return z["snapshots"], mass, snap_every
+        snaps = z["snapshots"]
+        z.close()   # eager layout: nothing lazy holds the zip open
+        return snaps, mass, snap_every
+    # Fallback count must match only snap_NNNNNN entries — a bare
+    # startswith("snap_") would also count the "snap_every" metadata.
     n = (int(np.ravel(z["n_snaps"])[0]) if "n_snaps" in z.files
-         else sum(1 for f in z.files if f.startswith("snap_")))
+         else sum(1 for f in z.files
+                  if f.startswith("snap_") and f[5:].isdigit()))
     return LazySnapshots(z, n), mass, snap_every
 
 

@@ -210,12 +210,20 @@ class Simulation:
                 # runtime will kill it (ADVICE r2) — tell the user to
                 # switch impl rather than let the worker die silently.
                 import warnings
+                if self.mesh is not None:
+                    # Sharded runs have no bounded-program path for ANY
+                    # impl — advising an impl switch would be futile.
+                    remedy = ("sharded runs cannot split one step into "
+                              "bounded programs; add chips or drop to a "
+                              "single-device pallas_sym* run")
+                else:
+                    remedy = (f"impl={self.impl!r} has no bounded-program "
+                              f"path; switch to a pallas_sym* impl")
                 warnings.warn(
                     f"one step at N={cfg.n_bodies} costs {per_chip:.3g} "
                     f"interactions/chip — past the ~{cap:.3g} per-program "
-                    f"bound, and impl={self.impl!r} has no bounded-program "
-                    f"path; expect execution-time-limited runtimes to kill "
-                    f"it (switch to a pallas_sym* impl)")
+                    f"bound; expect execution-time-limited runtimes to "
+                    f"kill it ({remedy})")
         batched_viz = (frame_streamer is not None and cfg.viz_every > 0
                        and self.mesh is None and not self._use_multiprog
                        # The batched path needs >= one frame per chunk.

@@ -53,8 +53,14 @@ DMAs inside the phase loop — noted in ROADMAP; pointless to build before
 multi-chip hardware exists to measure it.
 
 Cannot be performance-measured on this relay (1 real chip); correctness
-is gated on the 8/5/3/2/1-device interpret-mode CPU meshes, and the
-driver's ``dryrun_multichip`` exercises it end-to-end.
+is gated on the 8/5/3/2/1-device interpret-mode CPU meshes, the driver's
+``dryrun_multichip`` exercises it end-to-end, and the P=1 branch is
+compile-spot-checked on the real chip (CLAUDE.md device-code rule;
+driven round 4: mesh(1) x 5 steps at N=4096, oracle mismatch 0.0).
+The P>1 Mosaic lowering additionally requires the collective barrier
+prologue (collective_id + get_barrier_semaphore) — the real-chip compile
+check is what surfaced that; interpret mode accepts kernels real Mosaic
+rejects.
 """
 
 from __future__ import annotations
@@ -218,14 +224,14 @@ def rdma_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
     variant ladder rides the ppermute rings; this path demonstrates and
     tests the fused-comm design until multi-chip hardware exists)."""
     del impl  # exact tier only in v1
+    import math
     p = jax.lax.axis_size(axis)
     c = pos_l.shape[0]
-    block_i = min(cfg.block_i, c)
-    block_u = min(cfg.block_u or cfg.block_j, c)
-    if c % block_i or c % block_u:
-        raise ValueError(
-            f"rdma ring shard size {c} must divide block_i={block_i} and "
-            f"block_u={block_u} (run_steps_sharded pads to this)")
+    # run_steps_sharded pads shards to max(block_i, block_j, 8) — NOT to
+    # block_u (e.g. the exact tier's autotuned 1536) — so clamp each block
+    # to its gcd with the shard size rather than rejecting valid configs.
+    block_i = math.gcd(min(cfg.block_i, c), c)
+    block_u = math.gcd(min(cfg.block_u or cfg.block_j, c), c)
     interpret = jax.default_backend() != "tpu"
     if not interpret and _vmem_bytes(c) > _VMEM_BUDGET_BYTES:
         raise ValueError(

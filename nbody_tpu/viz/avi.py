@@ -57,6 +57,9 @@ class AviWriter:
             raise ValueError(f"codec must be 'MJPG' or 'DIB ', got {codec!r}")
         self.path, self.w, self.h = path, width, height
         self.fps, self.quality, self.codec = fps, quality, codec
+        # AVI stream chunk suffix: 'dc' = compressed video, 'db' =
+        # uncompressed DIB — strict demuxers key frame handling off it.
+        self._chunk_id = b"00dc" if codec == "MJPG" else b"00db"
         self._f = open(path, "wb")
         self._idx: "list[tuple[int, int]]" = []   # (offset-in-movi, size)
         self._max_chunk = 0
@@ -102,7 +105,7 @@ class AviWriter:
         data = (_jpeg_encode(rgb, self.quality) if self.codec == "MJPG"
                 else _dib_encode(rgb))
         off = self._f.tell() - self._movi_start - 8   # from 'movi' fourcc
-        self._f.write(b"00dc" + struct.pack("<I", len(data)) + data)
+        self._f.write(self._chunk_id + struct.pack("<I", len(data)) + data)
         if len(data) % 2:
             self._f.write(b"\0")
         self._idx.append((off, len(data)))
@@ -115,7 +118,7 @@ class AviWriter:
         movi_size = f.tell() - self._movi_start - 8
         f.write(b"idx1" + struct.pack("<I", 16 * len(self._idx)))
         for off, size in self._idx:
-            f.write(b"00dc" + struct.pack("<3I", 0x10, off, size))
+            f.write(self._chunk_id + struct.pack("<3I", 0x10, off, size))
         total = f.tell()
         f.seek(self._movi_start + 4)
         f.write(struct.pack("<I", movi_size))

@@ -25,7 +25,7 @@ def _frames(n=6, h=48, w=64, seed=0):
     return out
 
 
-def _parse_avi(path):
+def _parse_avi(path, cid=b"00dc"):
     """Minimal RIFF walk: returns (n_frames_header, chunks, idx_entries)."""
     data = open(path, "rb").read()
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
@@ -41,7 +41,7 @@ def _parse_avi(path):
     assert data[movi + movi_size:movi + movi_size + 4] == b"idx1"
     chunks = []
     p = movi + 4
-    while data[p:p + 4] == b"00dc":
+    while data[p:p + 4] == cid:
         size = struct.unpack("<I", data[p + 4:p + 8])[0]
         chunks.append(data[p + 8:p + 8 + size])
         p += 8 + size + (size % 2)
@@ -50,7 +50,7 @@ def _parse_avi(path):
     idx = []
     for k in range(n_idx):
         e = data[p + 8 + 16 * k:p + 8 + 16 * (k + 1)]
-        assert e[:4] == b"00dc"
+        assert e[:4] == cid
         flags, off, size = struct.unpack("<3I", e[4:])
         idx.append((flags, off, size))
     return n_frames, chunks, idx
@@ -88,7 +88,9 @@ def test_avi_dib_codec_lossless(tmp_path):
     with AviWriter(path, 64, 48, fps=5, codec="DIB ") as av:
         for fr in frames:
             av.add(fr)
-    _, chunks, _ = _parse_avi(path)
+    # Uncompressed DIB frames carry the '00db' chunk fourcc ('dc' is for
+    # compressed streams; strict demuxers key off the suffix).
+    _, chunks, _ = _parse_avi(path, cid=b"00db")
     h, w = 48, 64
     for fr, chunk in zip(frames, chunks):
         rows = np.frombuffer(chunk, np.uint8).reshape(h, -1)[:, :w * 3]

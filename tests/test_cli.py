@@ -118,6 +118,19 @@ def test_bench_json(capsys):
     assert "vs_baseline" in rec
 
 
+def test_bench_forwards_flat_state(capsys):
+    """`nbody bench --flat-state on` must reach run_benchmark (review r4:
+    the flag was registered but silently dropped); the result reports the
+    routing under "flat"."""
+    rc = main(["bench", "--n", "256", "--steps", "2", "--impl",
+               "pallas_sym", "--block-i", "8", "--block-j", "128",
+               "--block-u", "128", "--warmup", "1", "--trials", "1",
+               "--flat-state", "on"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["flat"] is True and rec["finite"]
+
+
 def test_info(capsys):
     rc = main(["info"])
     assert rc == 0

@@ -283,3 +283,38 @@ def test_flat_state_into_non_flat_simulation_converts():
     assert sim.state.pos.ndim == 2
     res = sim.run(n_steps=1, log_every=0)
     assert res.steps_run == 1
+
+
+def test_trajectory_writer_discards_on_exception(tmp_path):
+    """A failure mid-stream must NOT commit over a previous complete
+    trajectory (atomic tmp+rename semantics; review r4)."""
+    import pytest
+    from nbody_tpu.io.checkpoint import TrajectoryWriter, load_trajectory
+    path = str(tmp_path / "traj.npz")
+    full = np.arange(2 * 6 * 3, dtype=np.float32).reshape(2, 6, 3)
+    with TrajectoryWriter(path, snap_every=1) as tw:
+        for s in full:
+            tw.append(s)
+    with pytest.raises(RuntimeError, match="mid-run"):
+        with TrajectoryWriter(path, snap_every=1) as tw:
+            tw.append(full[0])
+            raise RuntimeError("mid-run relay drop")
+    # Destination still holds BOTH snapshots of the committed run, and
+    # the tmp file is gone.
+    got, _, _ = load_trajectory(path)
+    assert len(got) == 2
+    assert not [f for f in os.listdir(tmp_path) if "tmp" in f]
+
+
+def test_load_trajectory_snap_count_fallback(tmp_path):
+    """Without an n_snaps entry the fallback count must not mistake the
+    'snap_every' metadata entry for a snapshot (review r4)."""
+    from nbody_tpu.io.checkpoint import load_trajectory
+    path = str(tmp_path / "traj.npz")
+    np.savez(path,
+             snap_000000=np.zeros((4, 3), np.float32),
+             snap_000001=np.ones((4, 3), np.float32),
+             snap_every=np.asarray(2, dtype=np.int64))
+    got, _, snap_every = load_trajectory(path)
+    assert len(got) == 2 and snap_every == 2
+    np.testing.assert_array_equal(got[1], np.ones((4, 3), np.float32))

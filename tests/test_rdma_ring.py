@@ -89,6 +89,21 @@ def test_rdma_kdk_integrator():
                           abs_tol=1e-2)
 
 
+def test_rdma_block_u_gcd_clamp():
+    """A block_u that doesn't divide the shard (run_steps_sharded pads to
+    max(block_i, block_j) only — e.g. the exact tier's autotuned 1536 vs a
+    2048 shard) must clamp to the gcd, not raise."""
+    n = 8 * 64   # shards of 64; block_u=48 -> gcd(48, 64) = 16
+    state, pos, vel, mass = make_state(n, seed=44)
+    cfg = SimConfig(n_bodies=n, impl="pallas", block_i=8, block_j=64,
+                    block_u=48)
+    out = run_steps_sharded(state, cfg, make_mesh(), 2, impl="pallas",
+                            comm="rdma")
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 2)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(rdma-gcd)",
+                          abs_tol=1.0)
+
+
 def test_rdma_cli_run():
     """`nbody run --shards 8 --comm rdma` drives the RDMA ring through the
     product Simulation surface."""
