@@ -49,6 +49,10 @@ def run_benchmark(n: int = 65536, steps: int = 20,
     if shards and shards > 1:
         from .parallel.mesh import make_mesh
         from .parallel.ring import run_steps_sharded
+        if cfg.flat_state:
+            raise ValueError(
+                "flat-state mode is single-device only (the sharded path "
+                "consumes (N, 3) shards); drop flat_state or shards")
         state = init_state(cfg)
         mesh = make_mesh(shards)
 
@@ -107,9 +111,13 @@ def run_benchmark(n: int = 65536, steps: int = 20,
         state = advance(state, steps)
         sync(state.pos)
         per_trial.append(time.perf_counter() - t0)
+    # Headline = throughput of the median-TIME trial, so `value` and
+    # `ms_per_step` always describe the same trial and n²·steps/time
+    # round-trips exactly (independent medians of the two sorted lists
+    # disagree for even trial counts; review r4).
+    elapsed = float(np.sort(per_trial)[(len(per_trial) - 1) // 2])
     per_trial_g = sorted(n * n * steps / s / 1e9 for s in per_trial)
-    ginter = float(np.median(per_trial_g))
-    elapsed = float(np.median(per_trial))
+    ginter = n * n * steps / elapsed / 1e9
 
     e1 = energy_f64(state, cfg.eps2) if energy else None
     result = {

@@ -99,7 +99,19 @@ def load_checkpoint_meta(path: str
     (N, 3)) before the big arrays are transferred."""
     with np.load(path) as z:
         step = int(z["step"])
-        n = int(z["mass"].shape[0])
+        # n_bodies comes from the npy HEADER of the mass entry, not the
+        # array: z["mass"] would decompress ~134 MB at 33.5M bodies just
+        # to read a shape, and this runs twice per resume (review r4).
+        try:
+            with z.zip.open("mass.npy") as f:
+                version = np.lib.format.read_magic(f)
+                reader = {(1, 0): np.lib.format.read_array_header_1_0,
+                          (2, 0): np.lib.format.read_array_header_2_0}[
+                              version]
+                shape, _, _ = reader(f)
+            n = int(shape[0])
+        except (KeyError, AttributeError, ValueError, OSError):
+            n = int(z["mass"].shape[0])   # unknown layout: full read
         cfg = None
         if "config_json" in z:
             raw = json.loads(bytes(z["config_json"].tobytes()).decode())

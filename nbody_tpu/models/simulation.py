@@ -61,6 +61,13 @@ class Simulation:
         self.impl = resolve_impl(cfg)
         # Flat (3N,) state layout above the (N, 3) tiled-copy wall (the
         # >16M-body mode; docs/PERF.md memory walls) — single device only.
+        # An EXPLICIT flat request cannot be honored on a mesh (the
+        # sharded path consumes (N, 3) shards): error rather than
+        # silently run the layout the flag exists to forbid (review r4).
+        if mesh is not None and cfg.flat_state:
+            raise ValueError(
+                "flat-state mode is single-device only (the sharded path "
+                "consumes (N, 3) shards); drop --flat-state or --shards")
         self._flat = mesh is None and should_use_flat(cfg, self.impl)
         if state is None:
             if self._flat:
@@ -130,6 +137,18 @@ class Simulation:
             cfg = cfg.replace(n_bodies=n_saved)
         # Flat layout only on a single device (the sharded path consumes
         # (N, 3) shards); mesh must be known HERE, not attached after.
+        # A saved config's flat_state=True describes how the checkpointed
+        # run was laid out, not a demand on THIS run: resuming onto a
+        # mesh clears it with a warning.  An explicit --flat-state on
+        # passed alongside --shards (it would be in `overrides`) still
+        # errors in __init__.
+        if (mesh is not None and cfg.flat_state
+                and not (overrides or {}).get("flat_state")):
+            import warnings
+            warnings.warn(
+                "checkpoint config has flat_state=True but flat mode is "
+                "single-device; resuming onto the mesh in (N, 3) layout")
+            cfg = cfg.replace(flat_state=None)
         flat = mesh is None and should_use_flat(cfg, resolve_impl(cfg))
         state, _, _ = load_checkpoint(path, flat=flat)
         sim = cls(cfg, state=state, logger=logger, mesh=mesh, comm=comm)

@@ -1,5 +1,9 @@
 """Bench-only ablation variants of the pair-symmetric kernels.
 
+Reference provenance: these ablate the rebuild of the reference's tiled
+all-pairs force kernel (kernel.cu:80-130, the force law at kernel.cu:9-29)
+— the reference ships no ablation harness of its own.
+
 These measurement kernels isolate individual costs of the production N3L
 kernels (``forces_pallas_sym.py``) and produce *deliberately wrong or
 partial physics* — they exist to price mechanisms, not to simulate:

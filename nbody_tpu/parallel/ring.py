@@ -238,6 +238,15 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     if comm not in ("ring", "allgather", "rdma"):
         raise ValueError(
             f"comm must be 'ring', 'allgather', or 'rdma', got {comm!r}")
+    if comm == "rdma" and impl not in (None, "auto", "pallas"):
+        # v1 of the fused-comm kernel computes the exact one-sided tier
+        # only; say so rather than silently swap accuracy/speed class
+        # under a benchmark (review r4).
+        import warnings
+        warnings.warn(
+            f"comm='rdma' v1 always runs the exact one-sided tier; "
+            f"impl={impl!r} is ignored (the variant ladder rides "
+            f"comm='ring'/'allgather')")
     n_real = state.n
     p = mesh.shape[axis]
     state = pad_state_to(state, shard_padding(cfg, p))

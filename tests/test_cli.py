@@ -232,3 +232,51 @@ def test_sharded_run(capsys):
     rc = main(["run", "--n", "512", "--steps", "5", "--impl", "xla",
                "--chunk", "64", "--shards", "8", "--quiet"])
     assert rc == 0
+
+
+def test_run_save_trajectory_sharded(tmp_path):
+    """--shards + --save-trajectory must route through the mesh (review
+    r4: the trajectory advance closure silently dropped the mesh); the
+    sharded capture must match the single-device one."""
+    traj_s = str(tmp_path / "sharded.npz")
+    traj_1 = str(tmp_path / "single.npz")
+    base = ["run", "--n", "64", "--steps", "6", "--impl", "pallas",
+            "--block-i", "8", "--block-j", "128",
+            "--save-trajectory", None, "--snap-every", "2", "--quiet"]
+    args = list(base)
+    args[args.index(None)] = traj_s
+    assert main(args + ["--shards", "8"]) == 0
+    args = list(base)
+    args[args.index(None)] = traj_1
+    assert main(args) == 0
+    from nbody_tpu.io.checkpoint import load_trajectory
+    snaps_s, _, _ = load_trajectory(traj_s)
+    snaps_1, _, _ = load_trajectory(traj_1)
+    got = np.stack([np.asarray(s) for s in snaps_s])
+    want = np.stack([np.asarray(s) for s in snaps_1])
+    assert got.shape == (3, 64, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-1)
+
+
+def test_run_flat_state_with_shards_rejected(capsys):
+    """Explicit --flat-state with --shards must error (flat is
+    single-device only), not silently run the (N, 3) layout."""
+    import pytest
+    with pytest.raises(ValueError, match="single-device"):
+        main(["run", "--n", "256", "--steps", "1", "--impl", "pallas_sym",
+              "--block-i", "8", "--block-j", "32", "--block-u", "32",
+              "--flat-state", "on", "--shards", "2", "--quiet"])
+
+
+def test_bench_value_matches_ms_per_step(capsys):
+    """The headline value and ms_per_step must describe the SAME trial:
+    n^2*steps/time must round-trip (review r4: independent medians of two
+    sorted lists disagree at even trial counts)."""
+    rc = main(["bench", "--n", "256", "--steps", "2", "--impl", "xla",
+               "--warmup", "1", "--trials", "2"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n, steps = rec["n_bodies"], rec["steps"]
+    implied = n * n * steps / (rec["ms_per_step"] * steps / 1e3) / 1e9
+    assert abs(implied - rec["value"]) / rec["value"] < 5e-3
+    assert rec["ginter_min"] <= rec["value"] <= rec["ginter_max"]
