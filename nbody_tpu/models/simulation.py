@@ -45,6 +45,47 @@ class SimResult:
         return abs(self.energy_final - self.energy_initial) / scale
 
 
+class _ProgressHeartbeat:
+    """Completion-synced progress line over bounded-program dispatch.
+
+    At huge N one force evaluation spans many ~45 s device programs (~95
+    at N=33.5M) while the client sits in an epoll sleep — from the host a
+    step is indistinguishable from a hang for ~45 minutes.  This callback
+    (threaded into ``forces_pallas_sym_chunked*`` via ``progress=``)
+    blocks on the running accumulator every ~total/10 programs and prints
+    ``force eval: k/P programs (x%), ETA mm:ss``.  The sync cost is one
+    scalar device_get per print — noise against minutes of compute — and
+    it only engages when an eval spans >= ``min_programs`` programs, so
+    ordinary runs never pay it or see it."""
+
+    def __init__(self, logger, min_programs: int = 6,
+                 sync_every: Optional[int] = None):
+        self.logger = logger
+        self.min_programs = min_programs
+        self.sync_every = sync_every
+        self._t0 = 0.0
+        self._last_done = 0
+
+    def __call__(self, done: int, total: int, acc) -> None:
+        if total < self.min_programs:
+            return
+        if done <= self._last_done or self._t0 == 0.0:
+            # First callback of a force eval (fires right after program 1
+            # is dispatched): anchor the eval's wall-clock here.
+            self._t0 = time.perf_counter()
+        self._last_done = done
+        every = self.sync_every or max(1, total // 10)
+        if done % every and done != total:
+            return
+        np.asarray(acc[0:1])              # completion barrier
+        elapsed = max(time.perf_counter() - self._t0, 1e-9)
+        eta = elapsed / done * (total - done)
+        self.logger.banner(
+            f"  force eval: {done}/{total} programs "
+            f"({100.0 * done / total:.0f}%), ETA {int(eta // 60)}:"
+            f"{int(eta % 60):02d}")
+
+
 class Simulation:
     """Owns a state + config; runs chunks of compiled steps with host-side
     services (logging / checkpoints / viz / watchdog) between chunks."""
@@ -92,6 +133,10 @@ class Simulation:
             else:
                 self.state = prime_kdk(self.state, cfg, impl=self.impl)
         self.step_count = 0
+        # Optional bounded-program progress callback f(done, total, acc)
+        # (see _ProgressHeartbeat); Simulation.run installs a heartbeat
+        # when multiprog routing engages and logging isn't quiet.
+        self.progress = None
         # Bounded program granularity: an explicit cfg.prog_cap forces the
         # multi-program path; otherwise it engages automatically when one
         # fused force evaluation would exceed the default per-program bound
@@ -164,11 +209,13 @@ class Simulation:
         elif self._flat:
             from ..ops.step import run_steps_flat
             self.state = run_steps_flat(self.state, self.cfg, n,
-                                        impl=self.impl)
+                                        impl=self.impl,
+                                        progress=self.progress)
         elif self._use_multiprog:
             from ..ops.step import run_steps_multiprog
             self.state = run_steps_multiprog(
-                self.state, self.cfg, n, impl=self.impl)
+                self.state, self.cfg, n, impl=self.impl,
+                progress=self.progress)
         else:
             self.state = run_steps(self.state, self.cfg, n, impl=self.impl)
 
@@ -183,6 +230,13 @@ class Simulation:
         n_steps = n_steps if n_steps is not None else self.cfg.steps
         cfg = self.cfg
         timer = StepTimer(n_bodies=cfg.n_bodies)
+        # Default heartbeat over bounded-program dispatch: only engages
+        # when one force eval spans many programs (huge N), where a step
+        # is otherwise indistinguishable from a hang for ~45 minutes.
+        _own_progress = (self.progress is None and self._use_multiprog
+                         and not self.logger.quiet)
+        if _own_progress:
+            self.progress = _ProgressHeartbeat(self.logger)
         if sort_every > 0 and self._flat:
             # The Morton pass consumes (N, 3) arrays — exactly what flat
             # mode exists to avoid; spatial order is a throughput tweak,
@@ -414,6 +468,8 @@ class Simulation:
             # (a viewer-stop already checkpointed inside _poll_control).
             save_checkpoint(checkpoint_path, self.state, self.step_count, cfg)
 
+        if _own_progress:
+            self.progress = None
         e1 = energy_f64(self.state, cfg.eps2) if track_energy else None
         if timer.total_steps:
             ms_per_step = timer.ms_per_step

@@ -917,8 +917,8 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
                               panel_nb: "int | None" = None,
                               variant: str = "vpu",
                               interpret: "bool | None" = None,
-                              max_prog_interactions: float = DEFAULT_PROG_CAP
-                              ) -> jax.Array:
+                              max_prog_interactions: float = DEFAULT_PROG_CAP,
+                              progress=None) -> jax.Array:
     """``forces_pallas_sym`` dispatched as MULTIPLE device programs, each
     bounded to ~``max_prog_interactions`` interactions (the bench metric's
     unit: a full eval costs N², each unordered pair delivering 2).
@@ -947,7 +947,7 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
     out = forces_pallas_sym_chunked_flat(
         pos.reshape(-1), mass, eps2, block_i=block_i, block_u=block_u,
         panel_nb=panel_nb, variant=variant, interpret=interpret,
-        max_prog_interactions=max_prog_interactions)
+        max_prog_interactions=max_prog_interactions, progress=progress)
     return out.reshape(n, 3)
 
 
@@ -956,13 +956,22 @@ def forces_pallas_sym_chunked_flat(
         block_i: int = 512, block_u: "int | None" = None,
         panel_nb: "int | None" = None, variant: str = "vpu",
         interpret: "bool | None" = None,
-        max_prog_interactions: float = DEFAULT_PROG_CAP) -> jax.Array:
+        max_prog_interactions: float = DEFAULT_PROG_CAP,
+        progress=None) -> jax.Array:
     """Flat-operand core of the chunked dispatcher: positions enter and
     accelerations leave as row-major flat ``(3N,)`` arrays, so NO ``(N,3)``
     array ever exists on device.  This is the >20M-body mode: every
     program op consuming an ``(N, 3)`` array on this stack materializes a
     T(8,128) tiled copy at 42.7x (17.2 GB at N=32M — over HBM), while
-    1-D arrays stay compact (docs/PERF.md memory walls)."""
+    1-D arrays stay compact (docs/PERF.md memory walls).
+
+    ``progress``: optional ``f(done, total, acc)`` called after each
+    bounded program is DISPATCHED (`acc` = the running accumulator; a
+    callback that wants real completion progress blocks on it, e.g.
+    ``np.asarray(acc[:1])``).  At huge N one force evaluation spans many
+    ~45 s programs (~95 at N=33.5M) while the client sits in an epoll
+    sleep — this is the hook that makes that visible (a heartbeat, not a
+    hang)."""
     if variant not in SYM_VARIANTS:
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
@@ -997,6 +1006,12 @@ def forces_pallas_sym_chunked_flat(
     # Each cross pair costs 2m² interactions (m² pairs, 2 interactions per
     # pair — the N²-per-eval bench unit).
     pairs = [(a, b) for a in range(panels) for b in range(a + 1, panels)]
+    n_total = 1
+    if pairs:
+        per0 = max(1, int(max_prog_interactions // (2.0 * m * m)))
+        n_total += -(-len(pairs) // per0)
+    if progress is not None:
+        progress(1, n_total, acc)
     if pairs:
         # Split EVENLY into the fewest programs under the cap: every batch
         # gets the same static size (one compile) and total dummy padding
@@ -1006,6 +1021,7 @@ def forces_pallas_sym_chunked_flat(
         per = max(1, int(max_prog_interactions // (2.0 * m * m)))
         n_prog = -(-len(pairs) // per)
         batch = -(-len(pairs) // n_prog)
+        done = 1
         for lo in range(0, len(pairs), batch):
             chunk = pairs[lo:lo + batch]
             npad = batch - len(chunk)
@@ -1018,6 +1034,9 @@ def forces_pallas_sym_chunked_flat(
             acc = _sym_pair_batch_prog(
                 pos_flat, mass_p, acc, a_ids, b_ids, w, float(eps2),
                 block_i, block_u, nb, variant, interpret)
+            done += 1
+            if progress is not None:
+                progress(done, n_total, acc)
     return acc[:3 * n]
 
 

@@ -162,8 +162,8 @@ _drift_jit = jax.jit(kdk_drift)
 
 def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
                         impl: "str | None" = None,
-                        max_prog_interactions: "float | None" = None
-                        ) -> SimState:
+                        max_prog_interactions: "float | None" = None,
+                        progress=None) -> SimState:
     """Host-driven step loop with the force evaluation split into multiple
     bounded device programs (``forces_pallas_sym_chunked``).
 
@@ -187,7 +187,8 @@ def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
         return forces_pallas_sym_chunked(
             pos, state.mass, cfg.eps2, block_i=cfg.block_i,
             block_u=cfg.block_u, panel_nb=cfg.panel_nb, variant=variant,
-            max_prog_interactions=max_prog_interactions)
+            max_prog_interactions=max_prog_interactions,
+            progress=progress)
 
     for _ in range(n_steps):
         if cfg.integrator == "reference":
@@ -208,7 +209,8 @@ def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
 def run_steps_multiprog_flat(pos_flat, vel_flat, acc_flat, mass,
                              cfg: SimConfig, n_steps: int,
                              impl: "str | None" = None,
-                             max_prog_interactions: "float | None" = None):
+                             max_prog_interactions: "float | None" = None,
+                             progress=None):
     """``run_steps_multiprog`` on FLAT row-major state arrays
     (``(3N,)`` pos/vel/acc + ``(N,)`` mass) — the >20M-body mode.
 
@@ -234,7 +236,8 @@ def run_steps_multiprog_flat(pos_flat, vel_flat, acc_flat, mass,
         return forces_pallas_sym_chunked_flat(
             p, mass, cfg.eps2, block_i=cfg.block_i, block_u=cfg.block_u,
             panel_nb=cfg.panel_nb, variant=variant,
-            max_prog_interactions=max_prog_interactions)
+            max_prog_interactions=max_prog_interactions,
+            progress=progress)
 
     for _ in range(n_steps):
         if cfg.integrator == "reference":
@@ -253,7 +256,8 @@ def run_steps_multiprog_flat(pos_flat, vel_flat, acc_flat, mass,
 
 def run_steps_flat(flat, cfg: SimConfig, n_steps: int,
                    impl: "str | None" = None,
-                   max_prog_interactions: "float | None" = None):
+                   max_prog_interactions: "float | None" = None,
+                   progress=None):
     """``FlatState``-level step driver (the product entry of the >16M-body
     mode; ``Simulation`` routes here when ``should_use_flat`` engages).
     Always bounded-program dispatch — at flat-mode N one fused step is far
@@ -261,7 +265,7 @@ def run_steps_flat(flat, cfg: SimConfig, n_steps: int,
     from ..models.state import FlatState
     pos, vel, acc = run_steps_multiprog_flat(
         flat.pos, flat.vel, flat.acc, flat.mass, cfg, n_steps, impl=impl,
-        max_prog_interactions=max_prog_interactions)
+        max_prog_interactions=max_prog_interactions, progress=progress)
     return FlatState(pos=pos, vel=vel, acc=acc, mass=flat.mass)
 
 

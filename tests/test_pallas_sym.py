@@ -396,3 +396,50 @@ def test_sym_turbof_multi_panel():
     ref = oracle_forces(pos, mass, EPS2)
     err = np.abs(acc - ref) / (np.abs(ref) + 1e-30)
     assert np.percentile(err, 99) < 5e-2
+
+
+def test_chunked_progress_callback():
+    """The bounded dispatcher reports (done, total) after each program and the
+    callback's presence must not change results (huge-N heartbeat hook)."""
+    from nbody_tpu.ops.forces_pallas_sym import forces_pallas_sym_chunked
+    n = 3000   # 3 panels at panel_nb=5, block_u=256 -> 1 self + 3 pairs
+    pos, _, mass = make_small_system(n, seed=46)
+    seen = []
+
+    def progress(done, total, acc):
+        assert acc.shape == (3 * 3840,)   # padded flat accumulator
+        seen.append((done, total))
+
+    with_cb = np.asarray(forces_pallas_sym_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=256,
+        panel_nb=5, variant="vpu", max_prog_interactions=1.0,
+        progress=progress))
+    without = np.asarray(forces_pallas_sym_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=64, block_u=256,
+        panel_nb=5, variant="vpu", max_prog_interactions=1.0))
+    np.testing.assert_array_equal(with_cb, without)
+    total = seen[0][1]
+    assert [d for d, _ in seen] == list(range(1, total + 1))
+    assert all(t == total for _, t in seen)
+
+
+def test_progress_heartbeat_prints_eta():
+    """Simulation.run installs the heartbeat under multiprog routing and
+    prints completion-synced progress lines with an ETA."""
+    import io as _io
+    from nbody_tpu import SimConfig
+    from nbody_tpu.io.logger import RunLogger
+    from nbody_tpu.models.simulation import Simulation
+    stream = _io.StringIO()
+    n = 3000
+    # panel_nb=3 -> 4 panels -> 1 self + 6 pair programs = 7 >= the
+    # heartbeat's min_programs gate.
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=64, block_u=256,
+                    panel_nb=3, prog_cap=1.0)
+    sim = Simulation(cfg, logger=RunLogger(stream=stream))
+    sim.progress = None   # run() installs its own
+    res = sim.run(n_steps=1, log_every=0)
+    assert res.steps_run == 1
+    out = stream.getvalue()
+    assert "force eval:" in out and "ETA" in out
+    assert sim.progress is None   # uninstalled after the run
