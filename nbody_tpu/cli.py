@@ -44,7 +44,7 @@ _ARG_TO_CFG = {
     "max_pos": "max_pos", "min_mass": "min_mass", "max_mass": "max_mass",
     "block_i": "block_i", "block_j": "block_j", "block_u": "block_u",
     "chunk": "chunk", "dtype": "dtype", "prog_cap": "prog_cap",
-    "flat_state": "flat_state",
+    "flat_state": "flat_state", "panel_nb": "panel_nb",
 }
 
 
@@ -94,6 +94,10 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--block-j", type=int, default=2048, action=_TrackedStore)
     p.add_argument("--block-u", type=int, default=None, action=_TrackedStore,
                    help="superblock width of the pair-symmetric kernels")
+    p.add_argument("--panel-nb", type=int, default=None,
+                   action=_TrackedStore,
+                   help="superblocks per panel of the pair-symmetric "
+                        "kernels (default: VMEM-budget auto)")
     p.add_argument("--chunk", type=int, default=1024, action=_TrackedStore)
     p.add_argument("--prog-cap", type=float, default=None,
                    action=_TrackedStore,
@@ -125,6 +129,7 @@ def _make_cfg(args):
         max_pos=args.max_pos, min_mass=args.min_mass, max_mass=args.max_mass,
         block_i=args.block_i, block_j=args.block_j,
         block_u=getattr(args, "block_u", None), chunk=args.chunk,
+        panel_nb=getattr(args, "panel_nb", None),
         prog_cap=getattr(args, "prog_cap", None),
         flat_state=getattr(args, "flat_state", None),
         dtype=getattr(args, "dtype", "float32"),
@@ -370,6 +375,7 @@ def cmd_bench(args) -> int:
         n=args.n, steps=args.steps, impl=args.impl,
         block_i=args.block_i, block_j=args.block_j, chunk=args.chunk,
         block_u=getattr(args, "block_u", None),
+        panel_nb=getattr(args, "panel_nb", None),
         prog_cap=getattr(args, "prog_cap", None),
         flat_state=getattr(args, "flat_state", None),
         shards=args.shards or None, comm=args.comm,
