@@ -199,6 +199,12 @@ def cmd_run(args) -> int:
             bound = max_fused_steps(cfg)
             if sim.mesh is not None:
                 bound = max(1, bound * sim.mesh.devices.size)
+            if not args.quiet and sim._use_multiprog:
+                # Same huge-N heartbeat Simulation.run installs: a 33.5M
+                # step spans ~95 programs (~45 min) — show ETA, not
+                # silence, during trajectory capture too.
+                from .models.simulation import _ProgressHeartbeat
+                sim.progress = _ProgressHeartbeat(logger)
 
             def advance(k):
                 while k > 0:
