@@ -74,3 +74,31 @@ def test_run_logger(tmp_path):
     assert lines[0]["step"] == 1 and lines[1]["energy_drift"] == 1e-5
     rows = open(cv).read().strip().splitlines()
     assert rows[0].startswith("step,") and len(rows) == 3
+
+
+def test_checkpoint_meta_reads_header_only(tmp_path, monkeypatch):
+    """load_checkpoint_meta must take n_bodies from the npy HEADER of the
+    mass entry — decompressing the array itself is ~134 MB at 33.5M
+    bodies and runs twice per resume (review r4)."""
+    from nbody_tpu.io.checkpoint import load_checkpoint_meta, save_checkpoint
+    state = make_state(4096, seed=31)
+    cfg = SimConfig(n_bodies=4096, impl="xla")
+    p = str(tmp_path / "c.npz")
+    save_checkpoint(p, state, 7, cfg)
+
+    # Poison full-array reads of the big entries: only header reads pass.
+    import numpy.lib.format as fmt
+    real_read = fmt.read_array
+
+    def guarded(fp, *a, **kw):
+        out = real_read(fp, *a, **kw)
+        # step scalar and the ~400-byte config_json blob are fine; the
+        # (N,) mass / (N,3) pos arrays (>=16 KB at this n) are not.
+        assert out.nbytes < 4096, \
+            f"full array of shape {out.shape} decompressed for metadata"
+        return out
+
+    monkeypatch.setattr(fmt, "read_array", guarded)
+    step, got_cfg, n = load_checkpoint_meta(p)
+    assert (step, n) == (7, 4096)
+    assert got_cfg is not None and got_cfg.n_bodies == 4096
