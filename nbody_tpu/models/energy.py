@@ -162,7 +162,10 @@ def total_energy_bounded(state, eps2: float,
         mass_all = jnp.pad(state.mass, (0, n_pad - n))
         for s in range(0, n, row_chunk):
             rows = slice(s, min(s + row_chunk, n))
-            pe += float(_pe_rows(state.pos[rows], state.mass[rows], pos_all,
+            # Rows come from the already-materialized padded copy, not
+            # state.pos — each op consuming the raw (N, 3) array at huge
+            # N repeats its 42.7x tiled copy (ADVICE r2).
+            pe += float(_pe_rows(pos_all[rows], mass_all[rows], pos_all,
                                  mass_all, s, float(eps2),
                                  col_chunk=col_chunk))
     return ke - 0.5 * pe
