@@ -32,13 +32,31 @@ def main() -> int:
         with_turbo = False
 
     from nbody_tpu.bench_lib import run_benchmark
-    result = run_benchmark(n=n, steps=steps, impl=impl, trials=trials)
+
+    def bench_once(tier_impl):
+        # The relay occasionally drops a session mid-run
+        # (FailedPrecondition); one retry keeps the judged artifact
+        # from vanishing on a transient (CLAUDE.md environment notes).
+        try:
+            return run_benchmark(n=n, steps=steps, impl=tier_impl,
+                                 trials=trials)
+        except Exception as e:
+            print(f"bench: {tier_impl} attempt 1 failed "
+                  f"({type(e).__name__}: {e}); retrying", file=sys.stderr)
+            return run_benchmark(n=n, steps=steps, impl=tier_impl,
+                                 trials=trials)
+
+    result = bench_once(impl)
     if with_turbo:
-        t = run_benchmark(n=n, steps=steps, impl="pallas_sym_turbo",
-                          trials=trials)
-        result["turbo"] = {k: t[k] for k in (
-            "value", "vs_baseline", "ms_per_step", "ginter_min",
-            "ginter_max", "spread_pct", "compile_plus_warmup_s")}
+        try:
+            t = bench_once("pallas_sym_turbo")
+            result["turbo"] = {k: t[k] for k in (
+                "value", "vs_baseline", "ms_per_step", "ginter_min",
+                "ginter_max", "spread_pct", "compile_plus_warmup_s")}
+        except Exception as e:
+            # The headline (exact tier) already succeeded: report it
+            # rather than dying on the rider measurement.
+            result["turbo_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
     return 0
 

@@ -30,7 +30,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
                   impl: str = "auto", block_i: int = 512,
                   block_j: int = 2048, chunk: int = 1024,
                   shards: Optional[int] = None, comm: str = "ring",
-                  energy: bool = False, warmup_steps: int = 3,
+                  energy: bool = False, warmup_steps: Optional[int] = None,
                   seed: int = 0, trials: int = 3,
                   panel_nb: Optional[int] = None,
                   block_u: Optional[int] = None,
@@ -95,9 +95,14 @@ def run_benchmark(n: int = 65536, steps: int = 20,
 
     e0 = energy_f64(state, cfg.eps2) if energy else None
 
-    # Warmup (includes compile).
+    # Warmup (includes compile).  Default = the SAME step count as a
+    # timed trial, so the warmup and the trials share ONE program: a
+    # cold session then compiles/loads one big executable, not two
+    # (a distinct warmup step count is a distinct static n_steps ->
+    # a second multi-minute server-side build through the relay).
     t0 = time.perf_counter()
-    state = advance(state, max(1, warmup_steps))
+    state = advance(state, steps if warmup_steps is None
+                    else max(1, warmup_steps))
     sync(state.pos)
     compile_s = time.perf_counter() - t0
 

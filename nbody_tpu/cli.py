@@ -590,7 +590,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     bp = sub.add_parser("bench", help="throughput benchmark")
     _add_sim_args(bp)
-    bp.add_argument("--warmup", type=int, default=3)
+    bp.add_argument("--warmup", type=int, default=None,
+                    help="warmup steps (default: same as --steps, so the "
+                         "warmup shares the timed trials' compiled program)")
     bp.add_argument("--trials", type=int, default=3,
                     help="independent timed trials; headline is the median")
     bp.add_argument("--energy", action="store_true")
