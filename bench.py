@@ -37,9 +37,14 @@ def main() -> int:
         # The relay occasionally drops a session mid-run
         # (FailedPrecondition); one retry keeps the judged artifact
         # from vanishing on a transient (CLAUDE.md environment notes).
+        # Deterministic misuse (bad impl/config -> ValueError/TypeError)
+        # is NOT retried — rerunning a doomed multi-minute benchmark
+        # just delays the failure.
         try:
             return run_benchmark(n=n, steps=steps, impl=tier_impl,
                                  trials=trials)
+        except (ValueError, TypeError):
+            raise
         except Exception as e:
             print(f"bench: {tier_impl} attempt 1 failed "
                   f"({type(e).__name__}: {e}); retrying", file=sys.stderr)
@@ -50,13 +55,16 @@ def main() -> int:
     if with_turbo:
         try:
             t = bench_once("pallas_sym_turbo")
-            result["turbo"] = {k: t[k] for k in (
-                "value", "vs_baseline", "ms_per_step", "ginter_min",
-                "ginter_max", "spread_pct", "compile_plus_warmup_s")}
         except Exception as e:
             # The headline (exact tier) already succeeded: report it
             # rather than dying on the rider measurement.
             result["turbo_error"] = f"{type(e).__name__}: {e}"
+        else:
+            # Outside the except: a schema mismatch here should fail
+            # loudly, not masquerade as a relay error.
+            result["turbo"] = {k: t[k] for k in (
+                "value", "vs_baseline", "ms_per_step", "ginter_min",
+                "ginter_max", "spread_pct", "compile_plus_warmup_s")}
     print(json.dumps(result))
     return 0
 

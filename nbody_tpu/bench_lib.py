@@ -46,6 +46,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
 
     mesh = None
     used_flat = False
+    steps_are_static = True   # does the compiled program embed n_steps?
     if shards and shards > 1:
         from .parallel.mesh import make_mesh
         from .parallel.ring import run_steps_sharded
@@ -69,6 +70,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
             from .models.init import init_state_flat
             state = init_state_flat(cfg)
             used_flat = True
+            steps_are_static = False   # host loop; programs independent of k
 
             def advance(s, k):
                 return run_steps_flat(s, cfg, k, impl=impl_resolved)
@@ -77,6 +79,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
             # (relay kill / preemptible-scheduler limits): same routing as
             # Simulation._run_chunk.
             state = init_state(cfg)
+            steps_are_static = False   # host loop; programs independent of k
 
             def advance(s, k):
                 return run_steps_multiprog(s, cfg, k, impl=impl_resolved)
@@ -95,14 +98,19 @@ def run_benchmark(n: int = 65536, steps: int = 20,
 
     e0 = energy_f64(state, cfg.eps2) if energy else None
 
-    # Warmup (includes compile).  Default = the SAME step count as a
-    # timed trial, so the warmup and the trials share ONE program: a
-    # cold session then compiles/loads one big executable, not two
-    # (a distinct warmup step count is a distinct static n_steps ->
-    # a second multi-minute server-side build through the relay).
+    # Warmup (includes compile).  Default: where the compiled program
+    # embeds n_steps (fused/sharded paths), warm with the SAME step count
+    # as a timed trial so warmup and trials share ONE program — a cold
+    # session then compiles/loads one big executable, not two (a distinct
+    # warmup count is a distinct static n_steps -> a second multi-minute
+    # server-side build through the relay).  Where programs are
+    # step-count-independent (multiprog/flat host loops), ONE step warms
+    # every program — matching `steps` there would just burn device time
+    # (hours at 33.5M; review r4).
+    if warmup_steps is None:
+        warmup_steps = steps if steps_are_static else 1
     t0 = time.perf_counter()
-    state = advance(state, steps if warmup_steps is None
-                    else max(1, warmup_steps))
+    state = advance(state, max(1, warmup_steps))
     sync(state.pos)
     compile_s = time.perf_counter() - t0
 

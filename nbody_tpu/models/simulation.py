@@ -126,25 +126,34 @@ class Simulation:
             from ..models.state import state_from_flat
             state = state_from_flat(state)
         self.state = state
-        if cfg.integrator == "kdk":
-            if self._flat:
-                from ..ops.step import prime_kdk_flat
-                self.state = prime_kdk_flat(self.state, cfg, impl=self.impl)
-            else:
-                self.state = prime_kdk(self.state, cfg, impl=self.impl)
-        self.step_count = 0
-        # Optional bounded-program progress callback f(done, total, acc)
-        # (see _ProgressHeartbeat); Simulation.run installs a heartbeat
-        # when multiprog routing engages and logging isn't quiet.
-        self.progress = None
         # Bounded program granularity: an explicit cfg.prog_cap forces the
         # multi-program path; otherwise it engages automatically when one
         # fused force evaluation would exceed the default per-program bound
         # (execution-time-limited runtimes kill such programs — the fused
         # N=4M exact step is ~71 s).  pallas_sym* single-device only; the
-        # flat mode is always bounded-program.
+        # flat mode is always bounded-program.  (Computed before KDK
+        # priming: the priming heartbeat below keys off it.)
         self._use_multiprog = self._flat or (
             mesh is None and should_use_multiprog(cfg, self.impl))
+        if cfg.integrator == "kdk":
+            # The priming force eval is as long as any stepping eval (a
+            # full N² sweep — ~45 min at 33.5M) and happens before run()
+            # can install its heartbeat, so it gets its own (review r4).
+            _pp = (_ProgressHeartbeat(self.logger)
+                   if self._use_multiprog and not self.logger.quiet
+                   else None)
+            if self._flat:
+                from ..ops.step import prime_kdk_flat
+                self.state = prime_kdk_flat(self.state, cfg,
+                                            impl=self.impl, progress=_pp)
+            else:
+                self.state = prime_kdk(self.state, cfg, impl=self.impl,
+                                       progress=_pp)
+        self.step_count = 0
+        # Optional bounded-program progress callback f(done, total, acc)
+        # (see _ProgressHeartbeat); Simulation.run installs a heartbeat
+        # when multiprog routing engages and logging isn't quiet.
+        self.progress = None
 
     @classmethod
     def resume(cls, path: str, cfg: Optional[SimConfig] = None,
@@ -227,16 +236,38 @@ class Simulation:
             track_energy: bool = False,
             nan_watchdog: bool = True,
             sort_every: int = 0) -> SimResult:
-        n_steps = n_steps if n_steps is not None else self.cfg.steps
-        cfg = self.cfg
-        timer = StepTimer(n_bodies=cfg.n_bodies)
         # Default heartbeat over bounded-program dispatch: only engages
         # when one force eval spans many programs (huge N), where a step
         # is otherwise indistinguishable from a hang for ~45 minutes.
+        # Installed here (and uninstalled in the finally) so error paths —
+        # NaN watchdog, checkpoint IO, Ctrl-C mid-run — can't leave a
+        # run-owned heartbeat behind on the Simulation (review r4).
         _own_progress = (self.progress is None and self._use_multiprog
                          and not self.logger.quiet)
         if _own_progress:
             self.progress = _ProgressHeartbeat(self.logger)
+        try:
+            return self._run_impl(
+                n_steps, log_every=log_every,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+                frame_streamer=frame_streamer, track_energy=track_energy,
+                nan_watchdog=nan_watchdog, sort_every=sort_every)
+        finally:
+            if _own_progress:
+                self.progress = None
+
+    def _run_impl(self, n_steps: Optional[int],
+                  log_every: int,
+                  checkpoint_path: Optional[str],
+                  checkpoint_every: int,
+                  frame_streamer,
+                  track_energy: bool,
+                  nan_watchdog: bool,
+                  sort_every: int) -> SimResult:
+        n_steps = n_steps if n_steps is not None else self.cfg.steps
+        cfg = self.cfg
+        timer = StepTimer(n_bodies=cfg.n_bodies)
         if sort_every > 0 and self._flat:
             # The Morton pass consumes (N, 3) arrays — exactly what flat
             # mode exists to avoid; spatial order is a throughput tweak,
@@ -468,8 +499,6 @@ class Simulation:
             # (a viewer-stop already checkpointed inside _poll_control).
             save_checkpoint(checkpoint_path, self.state, self.step_count, cfg)
 
-        if _own_progress:
-            self.progress = None
         e1 = energy_f64(self.state, cfg.eps2) if track_energy else None
         if timer.total_steps:
             ms_per_step = timer.ms_per_step

@@ -1006,10 +1006,12 @@ def forces_pallas_sym_chunked_flat(
     # Each cross pair costs 2m² interactions (m² pairs, 2 interactions per
     # pair — the N²-per-eval bench unit).
     pairs = [(a, b) for a in range(panels) for b in range(a + 1, panels)]
-    n_total = 1
-    if pairs:
-        per0 = max(1, int(max_prog_interactions // (2.0 * m * m)))
-        n_total += -(-len(pairs) // per0)
+    # ONE computation of the program count, shared by the progress total
+    # and the batching below — if the cap policy changes, the heartbeat's
+    # done/total cannot silently diverge from the actual dispatch count.
+    per = max(1, int(max_prog_interactions // (2.0 * m * m)))
+    n_prog = -(-len(pairs) // per) if pairs else 0
+    n_total = 1 + n_prog
     if progress is not None:
         progress(1, n_total, acc)
     if pairs:
@@ -1018,8 +1020,6 @@ def forces_pallas_sym_chunked_flat(
         # stays <= n_prog - 1 items.  (Padding every batch up to the cap
         # instead wasted up to a full batch of computed-and-discarded
         # items: 210 dummies = +30 s/step at N=4M exact.)
-        per = max(1, int(max_prog_interactions // (2.0 * m * m)))
-        n_prog = -(-len(pairs) // per)
         batch = -(-len(pairs) // n_prog)
         done = 1
         for lo in range(0, len(pairs), batch):

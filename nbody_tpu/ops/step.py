@@ -74,14 +74,16 @@ def max_fused_steps(cfg: SimConfig) -> int:
     return max(1, int(cap // max(1, cfg.interactions_per_step)))
 
 
-def compute_forces_bounded(pos, mass, cfg: SimConfig, impl: str):
+def compute_forces_bounded(pos, mass, cfg: SimConfig, impl: str,
+                           progress=None):
     """One force evaluation through the bounded multi-program dispatcher
     (``forces_pallas_sym_chunked``) at the config's cap."""
     from .forces_pallas_sym import forces_pallas_sym_chunked
     return forces_pallas_sym_chunked(
         pos, mass, cfg.eps2, block_i=cfg.block_i, block_u=cfg.block_u,
         panel_nb=cfg.panel_nb, variant=_SYM_IMPL_VARIANTS[impl],
-        max_prog_interactions=cfg.prog_cap or DEFAULT_PROG_CAP)
+        max_prog_interactions=cfg.prog_cap or DEFAULT_PROG_CAP,
+        progress=progress)
 
 
 def step(state: SimState, cfg: SimConfig, impl: "str | None" = None) -> SimState:
@@ -106,14 +108,17 @@ def step(state: SimState, cfg: SimConfig, impl: "str | None" = None) -> SimState
 
 
 def prime_kdk(state: SimState, cfg: SimConfig,
-              impl: "str | None" = None) -> SimState:
+              impl: "str | None" = None, progress=None) -> SimState:
     """Seed state.acc = a(x_0) so the KDK integrator's first half-kick is
     consistent.  Routes through the bounded multi-program dispatcher when
     the config engages it (a fused priming evaluation at N>=4M is exactly
-    the over-long program the cap exists to avoid)."""
+    the over-long program the cap exists to avoid).  ``progress`` is the
+    bounded dispatcher's per-program callback — at huge N the priming
+    eval spans many programs and deserves a heartbeat too."""
     impl = impl or resolve_impl(cfg)
     if should_use_multiprog(cfg, impl):
-        acc = compute_forces_bounded(state.pos, state.mass, cfg, impl)
+        acc = compute_forces_bounded(state.pos, state.mass, cfg, impl,
+                                     progress=progress)
     else:
         acc = compute_forces(state.pos, state.mass, cfg, impl=impl)
     return state._replace(acc=acc)
@@ -269,7 +274,8 @@ def run_steps_flat(flat, cfg: SimConfig, n_steps: int,
     return FlatState(pos=pos, vel=vel, acc=acc, mass=flat.mass)
 
 
-def prime_kdk_flat(flat, cfg: SimConfig, impl: "str | None" = None):
+def prime_kdk_flat(flat, cfg: SimConfig, impl: "str | None" = None,
+                   progress=None):
     """Seed ``flat.acc = a(x_0)`` through the flat bounded dispatcher (the
     flat analog of ``prime_kdk``)."""
     from .forces_pallas_sym import forces_pallas_sym_chunked_flat
@@ -278,7 +284,8 @@ def prime_kdk_flat(flat, cfg: SimConfig, impl: "str | None" = None):
         flat.pos, flat.mass, cfg.eps2, block_i=cfg.block_i,
         block_u=cfg.block_u, panel_nb=cfg.panel_nb,
         variant=_SYM_IMPL_VARIANTS[impl],
-        max_prog_interactions=cfg.prog_cap or DEFAULT_PROG_CAP)
+        max_prog_interactions=cfg.prog_cap or DEFAULT_PROG_CAP,
+        progress=progress)
     return flat._replace(acc=acc)
 
 

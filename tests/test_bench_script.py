@@ -70,3 +70,53 @@ def test_bench_turbo_rider_rides_along(monkeypatch, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] == 307.0
     assert rec["turbo"]["value"] == 410.0
+
+
+def test_warmup_default_matches_steps_on_fused_path(monkeypatch):
+    """Fused routing embeds n_steps in the compiled program: the default
+    warmup must reuse the trials' step count so one executable serves
+    both (cold relay sessions pay minutes per extra program)."""
+    calls = []
+    real = bench_lib.run_steps
+
+    def spy(state, cfg, k, impl=None):
+        calls.append(k)
+        return real(state, cfg, k, impl=impl)
+
+    monkeypatch.setattr(bench_lib, "run_steps", spy)
+    bench_lib.run_benchmark(n=256, steps=4, impl="xla", trials=1)
+    assert calls[0] == 4                  # warmup == steps (same program)
+    assert all(k == 4 for k in calls)
+
+
+def test_warmup_default_is_one_step_on_multiprog_path(monkeypatch):
+    """Multiprog/flat routing compiles step-count-independent programs:
+    warming with `steps` would burn device time for nothing (hours at
+    33.5M; review r4) — the default must be ONE step there."""
+    import nbody_tpu.ops.step as step_mod
+    calls = []
+    real = step_mod.run_steps_multiprog
+
+    def spy(state, cfg, k, impl=None):
+        calls.append(k)
+        return real(state, cfg, k, impl=impl)
+
+    monkeypatch.setattr(step_mod, "run_steps_multiprog", spy)
+    bench_lib.run_benchmark(n=512, steps=3, impl="pallas_sym", trials=1,
+                            block_i=64, block_u=128, prog_cap=1e9)
+    assert calls[0] == 1                  # warmup: one step warms it all
+    assert calls[1:] == [3]               # the timed trial
+
+
+def test_bench_does_not_retry_deterministic_misuse(monkeypatch, capsys):
+    calls = []
+
+    def misuse(**kw):
+        calls.append(kw["impl"])
+        raise ValueError("unknown impl 'typo'")
+
+    monkeypatch.setattr(bench_lib, "run_benchmark", misuse)
+    monkeypatch.setenv("NBODY_BENCH_TURBO", "0")
+    with pytest.raises(ValueError):
+        bench.main()
+    assert len(calls) == 1                # no pointless multi-minute rerun

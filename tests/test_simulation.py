@@ -187,3 +187,39 @@ def test_chunks_end_at_modulo_trigger_boundaries(tmp_path):
     sums = [sum(calls[:i + 1]) for i in range(len(calls))]
     assert 5 in sums and 10 in sums and max(calls) <= 3
     assert os.path.exists(ck)
+
+
+def test_priming_heartbeat_for_kdk_multiprog():
+    """The KDK priming force eval in __init__ is as long as any stepping
+    eval at huge N; it must heartbeat too (review r4: it ran silently,
+    before run() could install one)."""
+    import io as _io
+    n = 3000
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", integrator="kdk",
+                    block_i=64, block_u=256, panel_nb=3, prog_cap=1.0)
+    stream = _io.StringIO()
+    Simulation(cfg, logger=RunLogger(stream=stream))
+    out = stream.getvalue()
+    assert "force eval:" in out        # priming itself heartbeat
+    # A quiet logger must stay silent (the default for library users).
+    quiet = Simulation(cfg, logger=RunLogger(quiet=True))
+    assert quiet.progress is None
+
+
+def test_heartbeat_uninstalled_on_run_error():
+    """run() owns the heartbeat it installs: error paths (NaN watchdog,
+    checkpoint IO, Ctrl-C) must not leave it behind (review r4)."""
+    import io as _io
+    n = 3000
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=64,
+                    block_u=256, panel_nb=3, prog_cap=1.0)
+    sim = Simulation(cfg, logger=RunLogger(stream=_io.StringIO()))
+
+    def boom(*a, **k):
+        assert sim.progress is not None   # installed before the body runs
+        raise RuntimeError("boom")
+
+    sim._run_impl = boom
+    with pytest.raises(RuntimeError, match="boom"):
+        sim.run(n_steps=1)
+    assert sim.progress is None           # uninstalled on the error path
