@@ -667,17 +667,37 @@ def _panel_layout(n, block_u, max_nb):
     Balancing matters: filling panels to the cap rounds the panel count up
     and pads the remainder with ghosts whose pair work is O(n_pad^2) — at
     N=1M a cap-filled layout wasted 24% of the bodies (1.55x the pair
-    work).  Spreading the blocks evenly keeps padding under ~1%."""
+    work).  Beyond even spreading, the ODD-nb constraint makes waste
+    jagged in the panel count, so search the nearby counts: at
+    N=1M/block_u=1536 the fewest-panels layout is 9x77 = 693 blocks for
+    683 needed (+1.46% bodies = +2.9% pair work) while 12x57 = 684
+    wastes 0.15% — measured 314.1 vs 307.0 GInter/s exact on v5e
+    (docs/PERF.md "Panel-layout search").  A HYSTERESIS guards the other
+    direction: extra panels mean more cross-panel pair programs (more
+    dynamic-slice/scatter-home items at the same total pair work), so a
+    higher panel count must cut total blocks by >0.25% (~0.5% pair
+    work) over the incumbent — e.g. 4M/1536 keeps 33x83 (2739) rather
+    than chasing 48x57 (2736, a 0.1% saving not worth 2.1x the pair
+    items).  nb stays >= ~cap/2 so the per-panel sweep geometry
+    (resident scatter buffer, slice count) keeps its measured
+    efficiency class."""
     nb_needed = -(-n // block_u)
     if nb_needed <= max_nb:
         nb = nb_needed if nb_needed % 2 == 1 else nb_needed + 1
         return nb, 1
     cap = max_nb if max_nb % 2 == 1 else max_nb - 1
-    panels = -(-nb_needed // cap)
-    nb = -(-nb_needed // panels)
-    if nb % 2 == 0:
-        nb += 1
-    return nb, panels
+    best = None
+    for panels in range(-(-nb_needed // cap),
+                        -(-nb_needed // max(1, cap // 2)) + 1):
+        nb = -(-nb_needed // panels)
+        if nb % 2 == 0:
+            nb += 1
+        if nb > cap:
+            continue
+        total = panels * nb
+        if best is None or total < best[0] * 0.9975:
+            best = (total, nb, panels)
+    return best[1], best[2]
 
 
 def _validate_sym_blocks(block_i, block_u, nb):

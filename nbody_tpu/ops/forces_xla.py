@@ -96,8 +96,16 @@ def forces_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
         # arithmetic — so mask it explicitly.
         i_ids = start + jax.lax.broadcasted_iota(jnp.int32, (f.shape[0], 1), 0)
         f = jnp.where(j_ids == i_ids, 0.0, f)
+        # precision=HIGHEST: on TPU the MXU's DEFAULT contraction truncates
+        # the inputs to bfloat16 (preferred_element_type only widens the
+        # ACCUMULATOR) — measured badfrac 24% / p99 0.17 vs the f64 oracle
+        # at N=262144 on v5e, i.e. worse than the turbo tier on a backend
+        # documented as exact-class.  HIGHEST (6-pass bf16 = f32-exact
+        # multiplies) restores p99 ~1e-5; this backend is the
+        # cross-check/fallback path, so the ~6x matmul cost is fine.
         acc_c = (
-            jnp.dot(f, pos, preferred_element_type=pos.dtype)
+            jnp.dot(f, pos, preferred_element_type=pos.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
             - pos_c * jnp.sum(f, axis=1, keepdims=True)
         )
         return None, acc_c.astype(pos.dtype)

@@ -106,3 +106,22 @@ def test_dispatch_auto():
     acc = np.asarray(compute_forces(jnp.asarray(pos), jnp.asarray(mass), cfg))
     ref = oracle_forces(pos, mass, EPS2)
     assert_matches_oracle(acc, ref, "acc(auto)")
+
+
+def test_forces_chunked_matmul_precision_is_highest():
+    """The MXU contraction must carry Precision.HIGHEST: on TPU the
+    DEFAULT dot truncates inputs to bfloat16 (preferred_element_type only
+    widens the accumulator), which measured badfrac 24% vs the f64 oracle
+    at N=262144 on v5e — silently demoting the exact-class XLA backend
+    below the turbo tier.  CPU runs DEFAULT in full f32, so only this
+    lowering check (not a numeric gate) can catch a regression in CI."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from nbody_tpu.ops.forces_xla import forces_chunked
+    low = jax.jit(functools.partial(forces_chunked, eps2=2e-3,
+                                    chunk=128)).lower(
+        jnp.ones((256, 3)), jnp.ones((256,)))
+    dots = [l for l in low.as_text().splitlines() if "stablehlo.dot" in l]
+    assert dots, "forces_chunked no longer lowers to a dot_general?"
+    assert all("HIGHEST" in l for l in dots), dots

@@ -206,6 +206,25 @@ def test_panel_layout():
         assert nb % 2 == 1 and nb <= cap
         assert total >= (1 << 20)
         assert total <= (1 << 20) * 1.03, f"cap={cap}: {total}"
+    # The search beats naive fewest-panels ceil-div where odd-nb rounding
+    # is jagged: 683 blocks needed at cap 85 -> 12x57=684 (0.15% waste),
+    # not 9x77=693 (+2.9% pair work; measured 314.1 vs 307.0 G/s at 1M,
+    # docs/PERF.md).  nb stays >= cap//2 (sweep-efficiency floor).
+    assert _panel_layout(1 << 20, 1536, 85) == (57, 12)
+    # Hysteresis: extra panels need a >0.25% total-block saving — at 4M
+    # the incumbent 33x83=2739 holds against 48x57=2736 (0.1% for 2.1x
+    # the cross-panel pair items); at 8M 66x83=5478 beats the old
+    # cap-filled 65x85=5525 but resists the pure-min 71x77=5467.
+    assert _panel_layout(4 << 20, 1536, 85) == (83, 33)
+    assert _panel_layout(8 << 20, 1536, 85) == (83, 66)
+    assert _panel_layout(4 << 20, 2048, 64) == (57, 36)   # turbo: was 33x63
+    for n in (1 << 20, 4 << 20, 8 << 20, 1 << 24, 33554432, 3_000_000):
+        for bu, cap in ((1536, 85), (2048, 64)):
+            nb, p = _panel_layout(n, bu, cap)
+            needed = -(-n // bu)
+            assert nb % 2 == 1 and nb <= cap and nb >= cap // 2
+            assert nb * p >= needed
+            assert nb * p <= needed * 1.005 + nb, (n, bu, cap, nb, p)
 
 
 def test_sym_block_guards():
@@ -402,12 +421,12 @@ def test_chunked_progress_callback():
     """The bounded dispatcher reports (done, total) after each program and the
     callback's presence must not change results (huge-N heartbeat hook)."""
     from nbody_tpu.ops.forces_pallas_sym import forces_pallas_sym_chunked
-    n = 3000   # 3 panels at panel_nb=5, block_u=256 -> 1 self + 3 pairs
+    n = 3000   # 12 blocks -> layout 4 panels x nb=3 -> 1 self + 6 pairs
     pos, _, mass = make_small_system(n, seed=46)
     seen = []
 
     def progress(done, total, acc):
-        assert acc.shape == (3 * 3840,)   # padded flat accumulator
+        assert acc.shape == (3 * 3072,)   # padded flat accumulator
         seen.append((done, total))
 
     with_cb = np.asarray(forces_pallas_sym_chunked(
