@@ -648,15 +648,22 @@ def resolve_block_u(block_u: "int | None", n: int,
                     variant: str = "vpu") -> int:
     """None = auto: the measured optimum is N- AND variant-dependent
     (docs/PERF.md tile sweeps): exact (vpu) peaks at 512x1536 for large N
-    (266 vs 247 G/s at 1M) but loses 14% above 1024 at 65k; turbo's live
-    set is smaller (accumulations leave the VPU for the MXU), so its
-    optimum sits at 2048 (414 vs 389 at 1M)."""
+    (266 vs 247 G/s at 1M) but loses 14% above 1024 at 65k; the
+    symmetric-weight vpu2 has a smaller per-pair live set and keeps 1536
+    ahead down to 65k (273.0 vs 266.9 at 65k, 309.6 vs 297.6 at 262k —
+    scripts/r5_smalln.py); turbo's live set is smaller still
+    (accumulations leave the VPU for the MXU), so its optimum sits at
+    2048 (414 vs 389 at 1M)."""
     if block_u is not None:
         return block_u
     if variant in ("turbo", "turbof", "turbo2"):
         # 2048 wins from 65k up (350.8 vs 308 G/s at 65k, 414.5 vs 389 at
         # 1M); below that, superblock rounding would pad >10% ghosts.
         return 2048 if n >= 65536 else 1024
+    if variant in ("vpu2",):
+        # 1536 wins from 65k up; below that, superblock rounding would
+        # pad ~8% ghosts (~16% pair work) so 1024 holds.
+        return 1536 if n >= 65536 else 1024
     return 1536 if n >= (512 << 10) else 1024
 
 

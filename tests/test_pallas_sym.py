@@ -264,8 +264,11 @@ def test_resolve_block_u_variant_aware():
     from nbody_tpu.ops.forces_pallas_sym import resolve_block_u
     # Explicit value always wins.
     assert resolve_block_u(512, 1 << 20, "vpu") == 512
-    # Small N: 1024 for the exact family; turbo flips to 2048 at 65k.
+    # Small N: 1024 for the classic exact tier; vpu2 flips to 1536 at 65k
+    # (273.0 vs 266.9 G/s, scripts/r5_smalln.py); turbo to 2048 at 65k.
     assert resolve_block_u(None, 65536, "vpu") == 1024
+    assert resolve_block_u(None, 65536, "vpu2") == 1536
+    assert resolve_block_u(None, 32768, "vpu2") == 1024
     assert resolve_block_u(None, 65536, "turbo") == 2048
     assert resolve_block_u(None, 32768, "turbo") == 1024
     # Large N: exact peaks at 1536, turbo/turbo2 at 2048 (docs/PERF.md).
