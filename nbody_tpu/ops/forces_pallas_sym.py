@@ -78,6 +78,40 @@ _MASS_SCALED_VARIANTS = ("vpu2", "turbof")
 ABLATION_SYM_KERNELS: "dict[str, object]" = {}
 ABLATION_RECT_KERNELS: "dict[str, object]" = {}
 
+# Grid-schedule ladder for the VPU exact tiers (identical force math and
+# per-tile sums; only the grid order / scatter cadence differs, so results
+# differ from "classic" by reassociation ulps only — same accuracy class,
+# oracle-gated):
+#
+# - "classic": grid (I, si, dd) — the j-superblock changes every grid
+#   step, so the resident scatter buffer takes a dynamic-offset RMW per
+#   (BI x U) tile and the (3,U)/(1,U) j-streams re-DMA per step.
+# - "fold": grid (I, dd, si) — the i-SUPERBLOCK (U,3) stays VMEM-resident
+#   per I (same total HBM bytes, fewer DMAs), the j-streams change only
+#   per (I, dd), and the j-side tile contributions accumulate in a (3,U)
+#   VMEM scratch across the si sub-sweep, hitting the scatter buffer with
+#   ONE dynamic-offset RMW per superblock visit — sub x fewer RMWs (3x at
+#   the production 512x1536 geometry).
+#
+# ``schedule=None`` resolves per variant here; flip after measurement.
+SYM_SCHEDULES = ("classic", "fold")
+_FOLD_VARIANTS = ("vpu", "vpu2")
+DEFAULT_SCHEDULE = {v: "classic" for v in SYM_VARIANTS}
+
+
+def resolve_schedule(schedule: "str | None", variant: str) -> str:
+    if schedule is None:
+        return DEFAULT_SCHEDULE.get(variant, "classic")
+    if schedule not in SYM_SCHEDULES:
+        raise ValueError(
+            f"schedule must be one of {SYM_SCHEDULES} or None, "
+            f"got {schedule!r}")
+    if schedule == "fold" and variant not in _FOLD_VARIANTS:
+        raise ValueError(
+            f"schedule='fold' applies to the VPU exact tiers "
+            f"{_FOLD_VARIANTS}, not {variant!r}")
+    return schedule
+
 # Default interactions-per-program bound for the chunked dispatcher
 # (forces_pallas_sym_chunked): ~45 s at the exact tier's measured
 # ~266 GInter/s — safely under execution-time-limited runtimes (the axon
@@ -397,6 +431,112 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
 
 
 @functools.lru_cache(maxsize=None)
+def _make_sym_kernel_fold(variant, eps2, nb, sub, block_i, block_u):
+    """Triangular kernel, "fold" schedule: grid (I, dd, si) with si
+    INNERMOST.  The i-superblock window (U,3) is resident per I and the
+    kernel slices its si-th (BI,3) sub-block in VMEM; j-side tile
+    contributions fold into a (3,U) scratch across the si sweep and the
+    resident scatter buffer takes ONE dynamic-offset RMW per (I, dd) —
+    sub x fewer than classic.  i-side accumulation order (ascending dd
+    per i-element) matches classic exactly; the j-side sums are grouped
+    (t0+t1+t2 added once) — reassociation ulps only."""
+
+    def kernel(pos_I_ref, mass_col_ref, posT_ref, mass_row_ref,
+               acc_i_ref, acc_jT_ref, jsc_ref):
+        i_sb = pl.program_id(0)
+        dd = pl.program_id(1)
+        si = pl.program_id(2)
+        first = jnp.logical_and(
+            jnp.logical_and(i_sb == 0, dd == 0), si == 0)
+
+        @pl.when(first)
+        def _():
+            acc_jT_ref[...] = jnp.zeros_like(acc_jT_ref)
+
+        @pl.when(jnp.logical_and(dd == 0, si == 0))
+        def _():
+            acc_i_ref[...] = jnp.zeros_like(acc_i_ref)
+
+        row = pl.ds(si * block_i, block_i)
+        xi = pos_I_ref[row, :]              # (BI, 3) slice of resident (U, 3)
+        xjT = posT_ref[:]                   # (3, U)
+        j_sb = jax.lax.rem(i_sb + 1 + dd, jnp.int32(nb))
+        if variant == "vpu2":
+            ai, aj = _pair_products_sym(
+                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+        else:                               # vpu
+            dx, dy, dz, fi, fj = _pair_terms(
+                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+            ai = _accum_i_vpu(dx, dy, dz, fi)
+            aj = _accum_j_vpu(dx, dy, dz, fj)
+        acc_i_ref[row, :] += ai
+
+        @pl.when(si == 0)
+        def _():
+            jsc_ref[...] = aj
+
+        @pl.when(si != 0)
+        def _():
+            jsc_ref[...] += aj
+
+        @pl.when(si == sub - 1)
+        def _():
+            _scatter_add(acc_jT_ref, j_sb, -jsc_ref[...])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rect_kernel_fold(variant, eps2, sub, block_i, block_u):
+    """Rectangular kernel, "fold" schedule: grid (IA, jb, si), si
+    innermost — the a-side superblock is resident per IA, acc_bT takes
+    one RMW per (IA, jb).  See ``_make_sym_kernel_fold``."""
+
+    def kernel(pos_A_ref, mass_col_ref, posT_b_ref, mass_row_ref,
+               acc_a_ref, acc_bT_ref, jsc_ref):
+        ia_sb = pl.program_id(0)
+        jb = pl.program_id(1)
+        si = pl.program_id(2)
+        first = jnp.logical_and(
+            jnp.logical_and(ia_sb == 0, jb == 0), si == 0)
+
+        @pl.when(first)
+        def _():
+            acc_bT_ref[...] = jnp.zeros_like(acc_bT_ref)
+
+        @pl.when(jnp.logical_and(jb == 0, si == 0))
+        def _():
+            acc_a_ref[...] = jnp.zeros_like(acc_a_ref)
+
+        row = pl.ds(si * block_i, block_i)
+        xi = pos_A_ref[row, :]
+        xjT = posT_b_ref[:]
+        if variant == "vpu2":
+            ai, aj = _pair_products_sym(
+                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+        else:                               # vpu
+            dx, dy, dz, fi, fj = _pair_terms(
+                xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+            ai = _accum_i_vpu(dx, dy, dz, fi)
+            aj = _accum_j_vpu(dx, dy, dz, fj)
+        acc_a_ref[row, :] += ai
+
+        @pl.when(si == 0)
+        def _():
+            jsc_ref[...] = aj
+
+        @pl.when(si != 0)
+        def _():
+            jsc_ref[...] += aj
+
+        @pl.when(si == sub - 1)
+        def _():
+            _scatter_add(acc_bT_ref, jb, -jsc_ref[...])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
 def _make_rect_kernel(variant, eps2, block_i, block_u):
     """Cross-panel kernel body: all (i in panel A) x (j in panel B) tiles,
     each once, two-sided.  Grid (ia, jb): acc_a blocked (accumulates across
@@ -520,9 +660,53 @@ def _diag_call(pos_p, posT_p, mass_row_p, *, eps2, nb, block_i, block_u,
 
 
 def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
-              block_i, block_u, variant, interpret):
+              block_i, block_u, variant, interpret, schedule="classic"):
     sub = block_u // block_i
     du = (nb - 1) // 2
+    if schedule == "fold" and sub > 1:
+        # Grid (I, dd, si): si innermost.  The i-superblock (U,3) window
+        # and the (U,3) acc_i output are blocked by I alone (resident
+        # across the whole (dd, si) sweep — same HBM bytes as classic in
+        # sub x fewer DMAs); j streams change per (I, dd); the (3,U)
+        # scratch folds the si sweep into one scatter RMW per (I, dd).
+        kernel = _make_sym_kernel_fold(variant, eps2, nb, sub, block_i,
+                                       block_u)
+        m = nb * block_u
+        return pl.pallas_call(
+            kernel,
+            grid=(nb, du, sub),
+            in_specs=[
+                pl.BlockSpec((block_u, 3), lambda I, dd, si: (I, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_i, 1),
+                             lambda I, dd, si, _s=sub: (I * _s + si, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, block_u),
+                             lambda I, dd, si, _nb=nb: (0, (I + 1 + dd) % _nb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_u),
+                             lambda I, dd, si, _nb=nb: (0, (I + 1 + dd) % _nb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_u, 3), lambda I, dd, si: (I, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 3, block_u), lambda I, dd, si: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((m, 3), pos_p.dtype),
+                jax.ShapeDtypeStruct((nb, 3, block_u), pos_p.dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((3, block_u), pos_p.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=26 * m * du * block_u,
+                bytes_accessed=m * 4 * 16,
+                transcendentals=m * du * block_u),
+            interpret=interpret,
+        )(pos_p, mass_col_p, posT_p, mass_row_p)
     grid = (nb, sub, du)
     kernel = _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u)
     m = nb * block_u
@@ -583,8 +767,49 @@ def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
 
 
 def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, mass_col_b, *,
-               eps2, nb_b, block_i, block_u, variant, interpret):
+               eps2, nb_b, block_i, block_u, variant, interpret,
+               schedule="classic"):
     ma = pos_a.shape[0]
+    sub = block_u // block_i
+    if schedule == "fold" and sub > 1 and ma % block_u == 0:
+        # Fold needs the a-side to tile into (U,3) superblocks; ragged
+        # a-sides (rect_forces_sym pads to block_i only) fall through to
+        # classic below — a geometry fallback, same results either way.
+        kernel = _make_rect_kernel_fold(variant, eps2, sub, block_i,
+                                        block_u)
+        return pl.pallas_call(
+            kernel,
+            grid=(ma // block_u, nb_b, sub),
+            in_specs=[
+                pl.BlockSpec((block_u, 3), lambda IA, jb, si: (IA, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_i, 1),
+                             lambda IA, jb, si, _s=sub: (IA * _s + si, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, block_u), lambda IA, jb, si: (0, jb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_u), lambda IA, jb, si: (0, jb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_u, 3), lambda IA, jb, si: (IA, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb_b, 3, block_u), lambda IA, jb, si: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ma, 3), pos_a.dtype),
+                jax.ShapeDtypeStruct((nb_b, 3, block_u), pos_a.dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((3, block_u), pos_a.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=26 * ma * nb_b * block_u,
+                bytes_accessed=(ma + nb_b * block_u) * 4 * 8,
+                transcendentals=ma * nb_b * block_u),
+            interpret=interpret,
+        )(pos_a, mass_col_a, posT_b, mass_row_b)
     grid = (ma // block_i, nb_b)
     kernel = _make_rect_kernel(variant, eps2, block_i, block_u)
     in_specs = [
@@ -707,7 +932,7 @@ def _panel_layout(n, block_u, max_nb):
     return best[1], best[2]
 
 
-def _validate_sym_blocks(block_i, block_u, nb):
+def _validate_sym_blocks(block_i, block_u, nb, schedule="classic"):
     if block_i % 8 != 0:
         raise ValueError(f"block_i must be a multiple of 8, got {block_i}")
     if block_u % 128 != 0:
@@ -728,6 +953,11 @@ def _validate_sym_blocks(block_i, block_u, nb):
     # (3,U)->(8,U) and mass_row (1,U)->(8,U).
     streams = 2 * (2 * block_i * 128 + 2 * 8 * block_u) * 4
     total = live + resident + streams
+    if schedule == "fold":
+        # The fold schedule keeps the (U,3) i-superblock window and the
+        # (U,3) acc_i output resident per I (double-buffered across I
+        # transitions, lane-padded 3->128) plus a (3,U) scratch.
+        total += 2 * 2 * block_u * 128 * 4 + 8 * block_u * 4
     if total > _VMEM_BUDGET_BYTES:
         raise ValueError(
             f"sym kernel working set ~{total / 1e6:.1f} MB exceeds VMEM "
@@ -738,9 +968,9 @@ def _validate_sym_blocks(block_i, block_u, nb):
 
 @functools.partial(
     jax.jit, static_argnames=("eps2", "block_i", "block_u", "panel_nb",
-                              "variant", "interpret"))
+                              "variant", "interpret", "schedule"))
 def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
-                       variant, interpret):
+                       variant, interpret, schedule="classic"):
     n_pad = pos_p.shape[0]
     m = panel_nb * block_u
     panels = n_pad // m
@@ -758,14 +988,14 @@ def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
         acc = jnp.zeros_like(pos_flat)
         acc = _sym_self_batch_prog(
             pos_flat, mass_p, acc, jnp.arange(panels, dtype=jnp.int32),
-            eps2, block_i, block_u, panel_nb, variant, interpret)
+            eps2, block_i, block_u, panel_nb, variant, interpret, schedule)
         pairs = [(a, b) for a in range(panels) for b in range(a + 1, panels)]
         a_ids = jnp.asarray([p[0] for p in pairs], jnp.int32)
         b_ids = jnp.asarray([p[1] for p in pairs], jnp.int32)
         w = jnp.ones((len(pairs),), pos_flat.dtype)
         acc = _sym_pair_batch_prog(
             pos_flat, mass_p, acc, a_ids, b_ids, w, eps2,
-            block_i, block_u, panel_nb, variant, interpret)
+            block_i, block_u, panel_nb, variant, interpret, schedule)
         return acc.reshape(n_pad, 3)
 
     posT = pos_p.T
@@ -776,7 +1006,7 @@ def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
         acc_i, acc_jT = _sym_call(
             pos_p, mass_p[:, None], posT, mass_row, eps2=eps2, nb=panel_nb,
             block_i=block_i, block_u=block_u, variant=variant,
-            interpret=interpret)
+            interpret=interpret, schedule=schedule)
         acc = acc + _inv_mass_scale(acc_i + _unscatter(acc_jT), mass_p,
                                     variant)
     return acc
@@ -784,9 +1014,9 @@ def _forces_sym_padded(pos_p, mass_p, eps2, block_i, block_u, panel_nb,
 
 @functools.partial(
     jax.jit, static_argnames=("eps2", "block_i", "block_u", "nb_b",
-                              "variant", "interpret"))
+                              "variant", "interpret", "schedule"))
 def _rect_sym_padded(pos_a, mass_a, pos_b, mass_b, eps2, block_i, block_u,
-                     nb_b, variant, interpret):
+                     nb_b, variant, interpret, schedule="classic"):
     mass_col_a = mass_a[:, None]
     posT_b = pos_b.T
     m = nb_b * block_u
@@ -799,7 +1029,7 @@ def _rect_sym_padded(pos_a, mass_a, pos_b, mass_b, eps2, block_i, block_u,
             pos_a, mass_col_a, posT_b[:, sl], mass_b[sl][None, :],
             pos_b[sl], mass_b[sl][:, None], eps2=eps2, nb_b=nb_b,
             block_i=block_i, block_u=block_u, variant=variant,
-            interpret=interpret)
+            interpret=interpret, schedule=schedule)
         acc_a = acc_a + _inv_mass_scale(aa, mass_a, variant)
         acc_b.append(_inv_mass_scale(_unscatter(abT), mass_b[sl], variant))
     return acc_a, jnp.concatenate(acc_b, axis=0)
@@ -810,7 +1040,8 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
                     block_i: int = 512, block_u: "int | None" = None,
                     panel_nb: "int | None" = None,
                     variant: str = "vpu",
-                    interpret: "bool | None" = None):
+                    interpret: "bool | None" = None,
+                    schedule: "str | None" = None):
     """Two-sided rectangular sweep between two DISJOINT body sets.
 
     Computes every (a, b) cross pair ONCE and returns ``(acc_a, acc_b)`` —
@@ -829,6 +1060,7 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
     na, nb_real = pos_a.shape[0], pos_b.shape[0]
+    schedule = resolve_schedule(schedule, variant)
     block_u = resolve_block_u(block_u, nb_real, variant)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -840,7 +1072,7 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
     else:
         panels = -(-nb_needed // panel_nb)
         nb_b = -(-nb_needed // panels)
-    _validate_sym_blocks(block_i, block_u, nb_b)
+    _validate_sym_blocks(block_i, block_u, nb_b, schedule)
     na_pad = round_up(na, block_i)
     nb_pad = panels * nb_b * block_u
     pos_a_p = jnp.pad(pos_a, ((0, na_pad - na), (0, 0)))
@@ -849,15 +1081,16 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
     mass_b_p = jnp.pad(mass_b, (0, nb_pad - nb_real))
     acc_a, acc_b = _rect_sym_padded(
         pos_a_p, mass_a_p, pos_b_p, mass_b_p, float(eps2), block_i,
-        block_u, nb_b, variant, interpret)
+        block_u, nb_b, variant, interpret, schedule)
     return acc_a[:na], acc_b[:nb_real]
 
 
 @functools.partial(
     jax.jit, static_argnames=("eps2", "block_i", "block_u", "panel_nb",
-                              "variant", "interpret"))
+                              "variant", "interpret", "schedule"))
 def _sym_self_batch_prog(pos_flat, mass_p, acc_flat, a_ids, eps2, block_i,
-                         block_u, panel_nb, variant, interpret):
+                         block_u, panel_nb, variant, interpret,
+                         schedule="classic"):
     """One device program for the per-panel SELF sweeps (diagonal +
     triangular), scanning dynamic panel offsets — compile-once, and only
     one iteration's temporaries are live at a time.
@@ -884,7 +1117,7 @@ def _sym_self_batch_prog(pos_flat, mass_p, acc_flat, a_ids, eps2, block_i,
             acc_i, acc_jT = _sym_call(
                 pa, ma[:, None], paT, ma[None, :], eps2=eps2, nb=panel_nb,
                 block_i=block_i, block_u=block_u, variant=variant,
-                interpret=interpret)
+                interpret=interpret, schedule=schedule)
             part = part + _inv_mass_scale(acc_i + _unscatter(acc_jT), ma,
                                           variant)
         cur = jax.lax.dynamic_slice(acc, (o,), (3 * m,))
@@ -898,9 +1131,10 @@ def _sym_self_batch_prog(pos_flat, mass_p, acc_flat, a_ids, eps2, block_i,
 
 @functools.partial(
     jax.jit, static_argnames=("eps2", "block_i", "block_u", "panel_nb",
-                              "variant", "interpret"))
+                              "variant", "interpret", "schedule"))
 def _sym_pair_batch_prog(pos_flat, mass_p, acc_flat, a_ids, b_ids, w, eps2,
-                         block_i, block_u, panel_nb, variant, interpret):
+                         block_i, block_u, panel_nb, variant, interpret,
+                         schedule="classic"):
     """Compile-ONCE batched cross-panel program: processes ``len(a_ids)``
     panel pairs at DYNAMIC offsets via ``lax.scan``.  Every batch of every
     step reuses this single compilation (a static-tuple grouping would
@@ -923,7 +1157,7 @@ def _sym_pair_batch_prog(pos_flat, mass_p, acc_flat, a_ids, b_ids, w, eps2,
         acc_a, acc_bT = _rect_call(
             pa, ma[:, None], pb.T, mb[None, :], pb, mb[:, None],
             eps2=eps2, nb_b=panel_nb, block_i=block_i, block_u=block_u,
-            variant=variant, interpret=interpret)
+            variant=variant, interpret=interpret, schedule=schedule)
         acc_a = _inv_mass_scale(acc_a, ma, variant)
         acc_b = _inv_mass_scale(_unscatter(acc_bT), mb, variant)
         cur_a = jax.lax.dynamic_slice(acc, (oa,), (3 * m,))
@@ -945,7 +1179,8 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
                               variant: str = "vpu",
                               interpret: "bool | None" = None,
                               max_prog_interactions: float = DEFAULT_PROG_CAP,
-                              progress=None) -> jax.Array:
+                              progress=None,
+                              schedule: "str | None" = None) -> jax.Array:
     """``forces_pallas_sym`` dispatched as MULTIPLE device programs, each
     bounded to ~``max_prog_interactions`` interactions (the bench metric's
     unit: a full eval costs N², each unordered pair delivering 2).
@@ -974,7 +1209,8 @@ def forces_pallas_sym_chunked(pos: jax.Array, mass: jax.Array, eps2: float,
     out = forces_pallas_sym_chunked_flat(
         pos.reshape(-1), mass, eps2, block_i=block_i, block_u=block_u,
         panel_nb=panel_nb, variant=variant, interpret=interpret,
-        max_prog_interactions=max_prog_interactions, progress=progress)
+        max_prog_interactions=max_prog_interactions, progress=progress,
+        schedule=schedule)
     return out.reshape(n, 3)
 
 
@@ -984,7 +1220,7 @@ def forces_pallas_sym_chunked_flat(
         panel_nb: "int | None" = None, variant: str = "vpu",
         interpret: "bool | None" = None,
         max_prog_interactions: float = DEFAULT_PROG_CAP,
-        progress=None) -> jax.Array:
+        progress=None, schedule: "str | None" = None) -> jax.Array:
     """Flat-operand core of the chunked dispatcher: positions enter and
     accelerations leave as row-major flat ``(3N,)`` arrays, so NO ``(N,3)``
     array ever exists on device.  This is the >20M-body mode: every
@@ -1007,13 +1243,14 @@ def forces_pallas_sym_chunked_flat(
         raise ValueError(
             f"pos_flat must be row-major (3N,) = ({3 * n},), got "
             f"{pos_flat.shape}")
+    schedule = resolve_schedule(schedule, variant)
     block_u = resolve_block_u(block_u, n, variant)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if panel_nb is None:
         panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
     nb, panels = _panel_layout(n, block_u, panel_nb)
-    _validate_sym_blocks(block_i, block_u, nb)
+    _validate_sym_blocks(block_i, block_u, nb, schedule)
     n_pad = panels * nb * block_u
     pad = n_pad - n
     pos_flat = jnp.pad(pos_flat, (0, 3 * pad))
@@ -1027,7 +1264,7 @@ def forces_pallas_sym_chunked_flat(
     # per (N, geometry), bounded temporaries.
     acc = _sym_self_batch_prog(
         pos_flat, mass_p, acc, jnp.arange(panels, dtype=jnp.int32),
-        float(eps2), block_i, block_u, nb, variant, interpret)
+        float(eps2), block_i, block_u, nb, variant, interpret, schedule)
     # Programs 2..k: cross-panel pairs in lexicographic order (matching the
     # fused program's per-slice accumulation order), batched under the cap.
     # Each cross pair costs 2m² interactions (m² pairs, 2 interactions per
@@ -1060,7 +1297,7 @@ def forces_pallas_sym_chunked_flat(
                             pos_flat.dtype)
             acc = _sym_pair_batch_prog(
                 pos_flat, mass_p, acc, a_ids, b_ids, w, float(eps2),
-                block_i, block_u, nb, variant, interpret)
+                block_i, block_u, nb, variant, interpret, schedule)
             done += 1
             if progress is not None:
                 progress(done, n_total, acc)
@@ -1071,18 +1308,23 @@ def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
                       block_i: int = 512, block_u: "int | None" = None,
                       panel_nb: "int | None" = None,
                       variant: str = "vpu",
-                      interpret: "bool | None" = None) -> jax.Array:
+                      interpret: "bool | None" = None,
+                      schedule: "str | None" = None) -> jax.Array:
     """Softened all-pairs accelerations, each pair computed once (N3L).
 
     pos: (N,3) f32; mass: (N,) f32.  N pads with zero-mass ghosts to
     panels x panel_nb x block_u; ghosts are inert on BOTH sides (m_j = 0
     kills their pull, m_i = 0 kills their scatter contribution), so no
     masks are needed anywhere.
+
+    ``schedule``: grid-schedule knob for the VPU exact tiers (None = the
+    per-variant default, see ``SYM_SCHEDULES``/``resolve_schedule``).
     """
     if variant not in SYM_VARIANTS:
         raise ValueError(
             f"variant must be one of {SYM_VARIANTS}, got {variant!r}")
     n = pos.shape[0]
+    schedule = resolve_schedule(schedule, variant)
     block_u = resolve_block_u(block_u, n, variant)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1090,11 +1332,11 @@ def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
         # Default resident-buffer cap: nb * 32B/body * U <= ~4 MB.
         panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
     nb, panels = _panel_layout(n, block_u, panel_nb)
-    _validate_sym_blocks(block_i, block_u, nb)
+    _validate_sym_blocks(block_i, block_u, nb, schedule)
     n_pad = panels * nb * block_u
     pad = n_pad - n
     pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
     mass_p = jnp.pad(mass, (0, pad))
     acc = _forces_sym_padded(pos_p, mass_p, float(eps2), block_i, block_u,
-                             nb, variant, interpret)
+                             nb, variant, interpret, schedule)
     return acc[:n]

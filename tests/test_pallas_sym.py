@@ -70,6 +70,86 @@ def test_sym_mxu_tiers(variant, p99_bound, badfrac_bound):
     assert relative_mismatch(acc, ref, 0.01, 1e-4).mean() < badfrac_bound
 
 
+@pytest.mark.parametrize("variant", ["vpu", "vpu2"])
+@pytest.mark.parametrize("n,bi,bu,pnb", [
+    (640, 64, 128, None),      # single panel, nb=5, sub=2
+    (700, 64, 128, None),      # ragged N -> ghost padding
+    (3000, 64, 256, 5),        # multi-panel (cross pairs via rect fold)
+    (1280, 128, 128, None),    # block_i == block_u -> sub=1 classic route
+])
+def test_sym_fold_schedule(variant, n, bi, bu, pnb):
+    """The fold grid schedule (si innermost, scratch-folded scatter) is
+    the same force math as classic in a different accumulation grouping:
+    it must hold the exact-tier oracle gate and agree with classic to
+    reassociation rounding."""
+    pos, _, mass = make_small_system(n, seed=51)
+    kw = dict(block_i=bi, block_u=bu, panel_nb=pnb, variant=variant)
+    a_fold = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, schedule="fold", **kw))
+    a_classic = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, schedule="classic", **kw))
+    ref = oracle_forces(pos, mass, EPS2)
+    assert_matches_oracle(a_fold, ref, f"acc(fold {variant} {n})")
+    np.testing.assert_allclose(a_fold, a_classic, rtol=1e-4, atol=1e-2)
+
+
+def test_fold_schedule_resolution():
+    from nbody_tpu.ops.forces_pallas_sym import resolve_schedule
+    assert resolve_schedule(None, "vpu2") == "classic" or \
+        resolve_schedule(None, "vpu2") == "fold"   # per-variant default
+    assert resolve_schedule("fold", "vpu") == "fold"
+    with pytest.raises(ValueError):
+        resolve_schedule("fold", "turbo")          # VPU exact tiers only
+    with pytest.raises(ValueError):
+        resolve_schedule("bogus", "vpu2")
+
+
+def test_rect_fold_matches_classic_and_ragged_fallback():
+    from nbody_tpu.ops.forces_pallas_sym import rect_forces_sym
+    na, nbods = 256, 512
+    pos, _, mass = make_small_system(na + nbods, seed=52)
+    pa, pb = pos[:na], pos[na:]
+    ma, mb = mass[:na], mass[na:]
+    args = (jnp.asarray(pa), jnp.asarray(ma), jnp.asarray(pb),
+            jnp.asarray(mb), EPS2)
+    # na=256 is a multiple of block_u=128: true fold path.
+    f_a, f_b = rect_forces_sym(*args, block_i=64, block_u=128,
+                               variant="vpu2", schedule="fold")
+    c_a, c_b = rect_forces_sym(*args, block_i=64, block_u=128,
+                               variant="vpu2", schedule="classic")
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(c_a),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(c_b),
+                               rtol=1e-4, atol=1e-2)
+    # Ragged a side (300 pads to block_i=64 only, not block_u): the fold
+    # request silently takes the classic geometry fallback — same result.
+    pos2, _, mass2 = make_small_system(300 + nbods, seed=53)
+    args2 = (jnp.asarray(pos2[:300]), jnp.asarray(mass2[:300]),
+             jnp.asarray(pos2[300:]), jnp.asarray(mass2[300:]), EPS2)
+    r_a, r_b = rect_forces_sym(*args2, block_i=64, block_u=128,
+                               variant="vpu2", schedule="fold")
+    s_a, s_b = rect_forces_sym(*args2, block_i=64, block_u=128,
+                               variant="vpu2", schedule="classic")
+    np.testing.assert_array_equal(np.asarray(r_a), np.asarray(s_a))
+    np.testing.assert_array_equal(np.asarray(r_b), np.asarray(s_b))
+
+
+def test_fold_chunked_matches_fused():
+    """Bounded-program dispatch under the fold schedule stays bit-equal
+    to the fused program (same kernels, same per-slice order)."""
+    from nbody_tpu.ops.forces_pallas_sym import forces_pallas_sym_chunked
+    n = 3000
+    pos, _, mass = make_small_system(n, seed=54)
+    kw = dict(block_i=64, block_u=256, panel_nb=5, variant="vpu2",
+              schedule="fold")
+    fused = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, **kw))
+    chunked = np.asarray(forces_pallas_sym_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2,
+        max_prog_interactions=2.0 * (5 * 256) ** 2, **kw))
+    np.testing.assert_array_equal(fused, chunked)
+
+
 def test_sym_cross_checks_one_sided_pallas():
     """Two structurally different device kernels agree (the reference's
     two-kernel-family cross-check, SURVEY.md section 4)."""
