@@ -8,7 +8,8 @@ a smaller per-pair live set, so its small-N optimum may sit higher.
 This sweeps block_u at N=65k/262k on the bench harness (median of
 trials, device_get-timed) to confirm or update the policy.
 
-Usage: python scripts/r5_smalln.py          (real TPU; ~10 min warm)
+Usage: python scripts/r5_smalln.py [n1,n2,...]   (real TPU; ~10 min warm)
+       default sizes: 65536,262144
 """
 
 import json
@@ -32,7 +33,9 @@ def main():
     import jax
     from nbody_tpu.bench_lib import run_benchmark
     log(f"backend: {jax.default_backend()}")
-    for n in (65536, 262144):
+    sizes = (tuple(int(s) for s in sys.argv[1].split(","))
+             if len(sys.argv) > 1 else (65536, 262144))
+    for n in sizes:
         for block_u in (1024, 1536, 2048):
             try:
                 t0 = time.perf_counter()
