@@ -878,7 +878,8 @@ def resolve_block_u(block_u: "int | None", n: int,
     ahead down to 65k (273.0 vs 266.9 at 65k, 309.6 vs 297.6 at 262k —
     scripts/r5_smalln.py); turbo's live set is smaller still
     (accumulations leave the VPU for the MXU), so its optimum sits at
-    2048 (414 vs 389 at 1M)."""
+    2048 (414 vs 389 at 1M); mxu shares turbo's structure and takes
+    2048 at large N (275.6 vs 267.0 at 1M, scripts/r5_mxu.py)."""
     if block_u is not None:
         return block_u
     if variant in ("turbo", "turbof", "turbo2"):
@@ -888,6 +889,14 @@ def resolve_block_u(block_u: "int | None", n: int,
     if variant in ("vpu2",):
         # 1536 wins from 65k up; below that, superblock rounding would
         # pad ~8% ghosts (~16% pair work) so 1024 holds.
+        return 1536 if n >= 65536 else 1024
+    if variant == "mxu":
+        # Both accumulations ride the MXU so the VPU live set is small
+        # like turbo's: 2048 wins at 1M (275.6 vs 267.0 G/s,
+        # scripts/r5_mxu.py) but not yet at 65k (220.3 vs 216.4);
+        # crossover placed at the exact family's 512k threshold.
+        if n >= (512 << 10):
+            return 2048
         return 1536 if n >= 65536 else 1024
     return 1536 if n >= (512 << 10) else 1024
 

@@ -351,9 +351,12 @@ def test_resolve_block_u_variant_aware():
     assert resolve_block_u(None, 32768, "vpu2") == 1024
     assert resolve_block_u(None, 65536, "turbo") == 2048
     assert resolve_block_u(None, 32768, "turbo") == 1024
-    # Large N: exact peaks at 1536, turbo/turbo2 at 2048 (docs/PERF.md).
+    # Large N: exact peaks at 1536, turbo/turbo2/mxu at 2048
+    # (docs/PERF.md; mxu 275.6 vs 267.0 at 1M, scripts/r5_mxu.py).
     assert resolve_block_u(None, 1 << 20, "vpu") == 1536
-    assert resolve_block_u(None, 1 << 20, "mxu") == 1536
+    assert resolve_block_u(None, 1 << 20, "mxu") == 2048
+    assert resolve_block_u(None, 65536, "mxu") == 1536
+    assert resolve_block_u(None, 32768, "mxu") == 1024
     assert resolve_block_u(None, 1 << 20, "turbo") == 2048
     assert resolve_block_u(None, 1 << 20, "turbo2") == 2048
 
