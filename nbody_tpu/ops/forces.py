@@ -31,12 +31,14 @@ def resolve_impl(cfg: SimConfig) -> str:
     if cfg.n_bodies <= 4096 and not on_tpu:
         return "xla_nxn"
     if on_tpu:
-        # Pair-symmetric exact kernel when the superblock padding is
-        # negligible; small N keeps the one-sided kernel's auto-shrink.
-        # sym2 = the symmetric-weight exact tier (23 flops/pair — measured
-        # 303.8 vs 261.6 GInter/s at 1M, same oracle-exact contract;
-        # docs/PERF.md round 4).
-        return "pallas_sym2" if cfg.n_bodies >= 16384 else "pallas"
+        # sym2 = the symmetric-weight exact tier (23 flops/pair, same
+        # oracle-exact contract; docs/PERF.md round 4).  It beats the
+        # one-sided kernel at EVERY measured N >= 4096 (same-protocol
+        # sweep, scripts/r5_crossover.py: 83.8 vs 78.0 G/s at 8k, 175.5
+        # vs 135.6 at 16k, 246.0 vs 168.0 at 32k, 28.5 vs 23.1 at 4k);
+        # below 4k the one-sided kernel's block auto-shrink avoids sym2's
+        # superblock ghost padding and the rates are interactive-trivial.
+        return "pallas_sym2" if cfg.n_bodies >= 4096 else "pallas"
     return "xla"
 
 

@@ -88,7 +88,11 @@ def test_auto_impl_prefers_sym_on_tpu(monkeypatch):
     import jax
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolve_impl(SimConfig(n_bodies=65536)) == "pallas_sym2"
-    assert resolve_impl(SimConfig(n_bodies=8192)) == "pallas"
+    # sym2 wins down to 4096 (scripts/r5_crossover.py); below that the
+    # one-sided kernel's block auto-shrink avoids superblock padding.
+    assert resolve_impl(SimConfig(n_bodies=8192)) == "pallas_sym2"
+    assert resolve_impl(SimConfig(n_bodies=4096)) == "pallas_sym2"
+    assert resolve_impl(SimConfig(n_bodies=2048)) == "pallas"
 
 
 def test_pallas_rejects_non_f32():
