@@ -313,6 +313,26 @@ def cmd_validate(args) -> int:
         print("validate runs single-device (the sharded path is validated "
               "by tests/test_ring.py); drop --shards", file=sys.stderr)
         return 2
+    if args.analytic:
+        # Closed-form two-body gates (models/kepler.py) — validation against
+        # EXACT solutions rather than a differential oracle; the one gate
+        # family a shared-bug pair of implementations cannot fool.  Runs the
+        # configured backend (incl. compiled Pallas tiers on TPU; N pads to
+        # tile size with inert ghosts).
+        from .models.kepler import run_analytic_gates
+        results = run_analytic_gates(
+            impl=args.impl, dtype=args.dtype,
+            steps_per_period=args.steps if args.steps > 20 else 2048,
+            block_i=args.block_i, block_u=getattr(args, "block_u", None))
+        ok = True
+        for r in results:
+            status = "OK " if r["ok"] else "FAIL"
+            ok = ok and r["ok"]
+            print(f"[{status}] {r['gate']}: max rel pos err "
+                  f"{r['max_rel_err']:.3e} after {r['steps']} steps "
+                  f"(1 period; tol {r['tol']:.3e})")
+        print("Analytic verification " + ("PASSED" if ok else "FAILED"))
+        return 0 if ok else 1
     cfg = _make_cfg(args)
     state = plummer_state(cfg) if args.init == "plummer" else init_state(cfg)
     if cfg.integrator == "kdk":
@@ -582,6 +602,13 @@ def build_parser() -> argparse.ArgumentParser:
     vp.add_argument("--oracle-f32", action="store_true",
                     help="run the oracle in float32 (exactly the reference's "
                          "CPU_compute precision) instead of float64")
+    vp.add_argument("--analytic", action="store_true",
+                    help="validate against closed-form two-body (Kepler) "
+                         "solutions instead of a CPU oracle: circular "
+                         "orbits for both integrators (incl. the reference "
+                         "scheme's half-force modified dynamics) and an "
+                         "e=0.6 elliptic orbit; --steps>20 sets "
+                         "steps/period (default 2048)")
     vp.add_argument("--energy-gate", type=float, default=0.0,
                     help="additionally gate |E_dev - E_oracle|/|E_oracle| "
                          "below this (long-horizon integral check; "

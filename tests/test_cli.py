@@ -63,6 +63,17 @@ def test_validate_kdk_and_plummer(capsys):
     assert "PASSED" in out
 
 
+def test_validate_analytic(capsys):
+    """--analytic runs the closed-form Kepler gates (models/kepler.py)
+    instead of the differential oracle; --steps > 20 sets steps/period."""
+    rc = main(["validate", "--analytic", "--impl", "xla_nxn",
+               "--steps", "1024"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "circular/reference" in out and "elliptic(e=0.6)/kdk" in out
+    assert "Analytic verification PASSED" in out
+
+
 def test_validate_rejects_shards(capsys):
     rc = main(["validate", "--n", "128", "--steps", "5", "--impl", "xla",
                "--shards", "8"])
