@@ -77,7 +77,7 @@ def _add_sim_args(p: argparse.ArgumentParser):
                             "pallas_sym_mxu"],
                    help="force backend (reference kernel-type prompt)")
     p.add_argument("--integrator", default="reference", action=_TrackedStore,
-                   choices=["reference", "kdk"])
+                   choices=["reference", "kdk", "yoshida4"])
     p.add_argument("--seed", type=int, default=0, action=_TrackedStore)
     p.add_argument("--init", default="uniform", choices=["uniform", "plummer"])
     p.add_argument("--max-pos", type=float, default=100_000.0,
@@ -299,7 +299,9 @@ def cmd_validate(args) -> int:
     implementations (including the reference's own fp32 GPU vs fp32 CPU
     pair) diverge beyond a 1% position tolerance within a few tens of
     steps.  Per-component comparison is therefore gated at a short horizon
-    (default 20 steps), and long-horizon correctness is gated on integral
+    (default 20 steps; the horizon counts FORCE SWEEPS, so yoshida4's three
+    sweeps per step shrink it ~3x in steps — validate yoshida4 at fewer
+    steps or smaller dt), and long-horizon correctness is gated on integral
     quantities instead: device total energy vs oracle total energy
     (--energy-gate), which is the physically meaningful long-run contract.
     """
@@ -335,13 +337,18 @@ def cmd_validate(args) -> int:
         return 0 if ok else 1
     cfg = _make_cfg(args)
     state = plummer_state(cfg) if args.init == "plummer" else init_state(cfg)
-    if cfg.integrator == "kdk":
+    if cfg.integrator != "reference":
         state = prime_kdk(state, cfg)
     pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
     mass = np.asarray(state.mass)
 
     dev = run_steps(state, cfg, args.steps)
     dtype = np.float32 if args.oracle_f32 else np.float64
+    if args.oracle == "native" and cfg.integrator == "yoshida4":
+        # The native oracle twins only the reference/kdk schemes; the numpy
+        # twin covers yoshida4 (oracle/numpy_oracle.py::oracle_run).
+        print("native oracle has no yoshida4 twin; falling back to numpy")
+        args.oracle = "numpy"
     if args.oracle == "native":
         from .oracle.native import available, native_run
         if not available():

@@ -36,7 +36,7 @@ _VALID_IMPLS = ("auto", "xla", "xla_nxn", "pallas", "pallas_kahan",
                 "pallas_mxu", "pallas_fast", "pallas_turbo", "pallas_sym",
                 "pallas_sym2", "pallas_sym_turbo", "pallas_sym_turbo2",
                 "pallas_sym_mxu")
-_VALID_INTEGRATORS = ("reference", "kdk")
+_VALID_INTEGRATORS = ("reference", "kdk", "yoshida4")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +62,9 @@ class SimConfig:
 
     # Integration scheme. "reference" reproduces the reference's fused
     # half-kick + drift (kernel.cu:116-129) bit-for-bit in structure;
-    # "kdk" is a textbook kick-drift-kick leapfrog offered as an upgrade.
+    # "kdk" is a textbook kick-drift-kick leapfrog offered as an upgrade;
+    # "yoshida4" is a 4th-order symplectic composition of three KDK
+    # sub-steps (3 force sweeps/step; models/integrators.py).
     integrator: str = "reference"
 
     # Force backend: "pallas" = VMEM-tiled kernel (analog of the reference's

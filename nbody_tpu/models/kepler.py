@@ -169,7 +169,9 @@ def run_analytic_gates(impl: str = "auto", dtype: str = "float32",
     Gates:
       1. circular / integrator="reference" (half-force analytic target)
       2. circular / integrator="kdk"
-      3. elliptic e=0.6 / integrator="kdk"
+      3. circular / integrator="yoshida4" (4th order)
+      4. elliptic e=0.6 / integrator="kdk"
+      5. elliptic e=0.6 / integrator="yoshida4"
 
     Returns one dict per gate with the measured max position error
     (relative to the orbit scale) and a pass/fail against a tolerance
@@ -196,15 +198,17 @@ def run_analytic_gates(impl: str = "auto", dtype: str = "float32",
     # -- Gate 1/2: circular, both integrators, softened (eps2 > 0 to also
     #    exercise the softening term of the closed form).
     # Calibrated coefficients (measured f64 @2048 steps/period, ~8x margin):
-    # reference C1=0.031 (first order), kdk C2=1.3 (second order).
+    # reference C1=0.031 (first order), kdk C2=1.3 (second order),
+    # yoshida4 C4 measured 3.66 (fourth order; ratio exactly 16/dt-halving).
     eps2 = 0.01
-    for integrator, order, c in (("reference", 1, 0.25), ("kdk", 2, 8.0)):
+    for integrator, order, c in (("reference", 1, 0.25), ("kdk", 2, 8.0),
+                                 ("yoshida4", 4, 32.0)):
         state, w = two_body_circular(d_scale, m1, m2, eps2,
                                      integrator, dtype)
         period = 2.0 * math.pi / w
         dt = period / steps_per_period
         cfg = _cfg(integrator, dt, eps2)
-        if integrator == "kdk":
+        if integrator != "reference":
             state = prime_kdk(state, cfg)
         out = run_steps(state, cfg, steps_per_period)
         ref = circular_positions(period, d_scale, m1, m2, eps2, integrator)
@@ -214,22 +218,24 @@ def run_analytic_gates(impl: str = "auto", dtype: str = "float32",
                         steps_per_period, "max_rel_err": err, "tol": tol,
                         "ok": err <= tol})
 
-    # -- Gate 3: elliptic e=0.6, KDK, near-unsoftened (Kepler closed form
+    # -- Gates 4/5: elliptic e=0.6, near-unsoftened (Kepler closed form
     #    assumes eps2=0, but the kernels NEED eps2>0: the no-self-pair-guard
     #    contract (kernel.cu:17-27) makes the i==i term 0 via softening, and
     #    at eps2=0 it is rsqrt(0)*0 = NaN.  eps2=1e-10 perturbs the force by
     #    ~eps2/r^2 ~ 6e-10 relative — far below the discretization error.
-    state, period = two_body_elliptic(d_scale, e, m1, m2, dtype)
-    dt = period / steps_per_period
-    cfg = _cfg("kdk", dt, 1e-10)
-    state = prime_kdk(state, cfg)
-    out = run_steps(state, cfg, steps_per_period)
-    ref = elliptic_positions(period, d_scale, e, m1, m2)
-    err = max_rel_error(out.pos, ref, d_scale)
-    # Perihelion passage concentrates the error: budget C = 600 at e=0.6
-    # (measured C ~ 91 at 2048 steps/period in f64; ~6.6x margin).
-    tol = 600.0 * (2.0 * math.pi / steps_per_period) ** 2 + noise
-    results.append({"gate": "elliptic(e=0.6)/kdk", "steps":
-                    steps_per_period, "max_rel_err": err, "tol": tol,
-                    "ok": err <= tol})
+    # Perihelion passage concentrates the error: budgets C_kdk = 600
+    # (measured C ~ 91 at 2048 steps/period in f64; ~6.6x margin) and
+    # C_yoshida4 measured ~1.25e3 (128-2048 spp sweep; ~8x margin).
+    for integrator, order, c in (("kdk", 2, 600.0), ("yoshida4", 4, 1e4)):
+        state, period = two_body_elliptic(d_scale, e, m1, m2, dtype)
+        dt = period / steps_per_period
+        cfg = _cfg(integrator, dt, 1e-10)
+        state = prime_kdk(state, cfg)
+        out = run_steps(state, cfg, steps_per_period)
+        ref = elliptic_positions(period, d_scale, e, m1, m2)
+        err = max_rel_error(out.pos, ref, d_scale)
+        tol = c * (2.0 * math.pi / steps_per_period) ** order + noise
+        results.append({"gate": f"elliptic(e=0.6)/{integrator}", "steps":
+                        steps_per_period, "max_rel_err": err, "tol": tol,
+                        "ok": err <= tol})
     return results

@@ -135,7 +135,7 @@ class Simulation:
         # priming: the priming heartbeat below keys off it.)
         self._use_multiprog = self._flat or (
             mesh is None and should_use_multiprog(cfg, self.impl))
-        if cfg.integrator == "kdk":
+        if cfg.integrator != "reference":
             # The priming force eval is as long as any stepping eval (a
             # full N² sweep — ~45 min at 33.5M) and happens before run()
             # can install its heartbeat, so it gets its own (review r4).

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..models.integrators import kdk_drift, kdk_kick, reference_update
+from ..models.integrators import (KDK_WEIGHTS, kdk_drift, kdk_kick,
+                                  reference_update)
 from ..models.state import SimState
 from .forces import compute_forces, resolve_impl
 from .forces_pallas_sym import DEFAULT_PROG_CAP
@@ -71,7 +72,10 @@ def max_fused_steps(cfg: SimConfig) -> int:
     steps; chained chunks queue asynchronously, so timing semantics are
     unchanged."""
     cap = cfg.prog_cap or DEFAULT_PROG_CAP
-    return max(1, int(cap // max(1, cfg.interactions_per_step)))
+    # KDK-composed integrators cost one force sweep per sub-step weight
+    # (yoshida4 = 3 sweeps/step); the cap bounds total sweeps per program.
+    evals = len(KDK_WEIGHTS.get(cfg.integrator, (1.0,)))
+    return max(1, int(cap // max(1, evals * cfg.interactions_per_step)))
 
 
 def compute_forces_bounded(pos, mass, cfg: SimConfig, impl: str,
@@ -95,14 +99,18 @@ def step(state: SimState, cfg: SimConfig, impl: "str | None" = None) -> SimState
         acc = compute_forces(state.pos, state.mass, cfg, impl=impl)
         pos, vel = reference_update(state.pos, state.vel, acc, cfg.dt)
         return SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
-    elif cfg.integrator == "kdk":
-        # Kick-drift-kick: uses the acceleration stored from the previous
-        # step for the first half-kick (state.acc must hold a(x_n); seed with
-        # one force evaluation via `prime_kdk`).
-        vel_half = kdk_kick(state.vel, state.acc, cfg.dt)
-        pos = kdk_drift(state.pos, vel_half, cfg.dt)
-        acc = compute_forces(pos, state.mass, cfg, impl=impl)
-        vel = kdk_kick(vel_half, acc, cfg.dt)
+    weights = KDK_WEIGHTS.get(cfg.integrator)
+    if weights is not None:
+        # KDK-composed schemes (kdk = one sub-step, yoshida4 = three): each
+        # sub-step is kick-drift-kick over weight*dt, chaining a(x) through
+        # state.acc (seed a(x_0) via `prime_kdk`).
+        pos, vel, acc = state.pos, state.vel, state.acc
+        for w in weights:
+            wdt = w * cfg.dt
+            vel_half = kdk_kick(vel, acc, wdt)
+            pos = kdk_drift(pos, vel_half, wdt)
+            acc = compute_forces(pos, state.mass, cfg, impl=impl)
+            vel = kdk_kick(vel_half, acc, wdt)
         return SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
     raise ValueError(f"unknown integrator {cfg.integrator!r}")
 
@@ -195,16 +203,20 @@ def run_steps_multiprog(state: SimState, cfg: SimConfig, n_steps: int,
             max_prog_interactions=max_prog_interactions,
             progress=progress)
 
+    weights = KDK_WEIGHTS.get(cfg.integrator)
     for _ in range(n_steps):
         if cfg.integrator == "reference":
             acc = forces(state.pos)
             pos, vel = _ref_update_jit(state.pos, state.vel, acc, cfg.dt)
             state = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
-        elif cfg.integrator == "kdk":
-            vel_half = _kick_jit(state.vel, state.acc, cfg.dt)
-            pos = _drift_jit(state.pos, vel_half, cfg.dt)
-            acc = forces(pos)
-            vel = _kick_jit(vel_half, acc, cfg.dt)
+        elif weights is not None:
+            pos, vel, acc = state.pos, state.vel, state.acc
+            for w in weights:
+                wdt = w * cfg.dt
+                vel_half = _kick_jit(vel, acc, wdt)
+                pos = _drift_jit(pos, vel_half, wdt)
+                acc = forces(pos)
+                vel = _kick_jit(vel_half, acc, wdt)
             state = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
         else:
             raise ValueError(f"unknown integrator {cfg.integrator!r}")
@@ -244,16 +256,19 @@ def run_steps_multiprog_flat(pos_flat, vel_flat, acc_flat, mass,
             max_prog_interactions=max_prog_interactions,
             progress=progress)
 
+    weights = KDK_WEIGHTS.get(cfg.integrator)
     for _ in range(n_steps):
         if cfg.integrator == "reference":
             acc_flat = forces(pos_flat)
             pos_flat, vel_flat = _ref_update_jit(pos_flat, vel_flat,
                                                  acc_flat, cfg.dt)
-        elif cfg.integrator == "kdk":
-            vel_half = _kick_jit(vel_flat, acc_flat, cfg.dt)
-            pos_flat = _drift_jit(pos_flat, vel_half, cfg.dt)
-            acc_flat = forces(pos_flat)
-            vel_flat = _kick_jit(vel_half, acc_flat, cfg.dt)
+        elif weights is not None:
+            for w in weights:
+                wdt = w * cfg.dt
+                vel_half = _kick_jit(vel_flat, acc_flat, wdt)
+                pos_flat = _drift_jit(pos_flat, vel_half, wdt)
+                acc_flat = forces(pos_flat)
+                vel_flat = _kick_jit(vel_half, acc_flat, wdt)
         else:
             raise ValueError(f"unknown integrator {cfg.integrator!r}")
     return pos_flat, vel_flat, acc_flat

@@ -62,16 +62,25 @@ def oracle_run(pos, vel, mass, eps2: float, dt: float, steps: int,
 
     ``integrator``: "reference" is the reference's fused half-kick + drift;
     "kdk" mirrors ops.step's kick-drift-kick leapfrog (same scheme, CPU
-    twin) so KDK device runs can be differentially validated too."""
+    twin) so KDK device runs can be differentially validated too;
+    "yoshida4" is the 4th-order Yoshida composition of three KDK sub-steps
+    (weights re-derived here independently of models/integrators.py, in the
+    independent-twin spirit of validation.cpp)."""
     pos = np.asarray(pos, dtype=dtype).copy()
     vel = np.asarray(vel, dtype=dtype).copy()
-    if integrator == "kdk":
+    if integrator in ("kdk", "yoshida4"):
+        if integrator == "kdk":
+            weights = (1.0,)
+        else:
+            w1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))   # Yoshida 1990
+            weights = (w1, 1.0 - 2.0 * w1, w1)
         acc = oracle_forces(pos, mass, eps2, dtype=dtype)
         for _ in range(steps):
-            vel = vel + 0.5 * dt * acc          # half kick with a(x_n)
-            pos = pos + dt * vel                # drift
-            acc = oracle_forces(pos, mass, eps2, dtype=dtype)
-            vel = vel + 0.5 * dt * acc          # half kick with a(x_{n+1})
+            for w in weights:
+                vel = vel + 0.5 * w * dt * acc      # half kick with a(x)
+                pos = pos + w * dt * vel            # drift
+                acc = oracle_forces(pos, mass, eps2, dtype=dtype)
+                vel = vel + 0.5 * w * dt * acc      # half kick, new a
         return pos, vel, acc
     if integrator != "reference":
         raise ValueError(f"unknown integrator {integrator!r}")

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import SimConfig
-from ..models.integrators import kdk_drift, kdk_kick, reference_update
+from ..models.integrators import (KDK_WEIGHTS, kdk_drift, kdk_kick,
+                                  reference_update)
 from ..models.state import SimState, pad_state_to, round_up, unpad_state
 from ..ops.forces_xla import rect_forces
 from .mesh import SHARD_AXIS
@@ -195,17 +196,21 @@ def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
     else:
         force = allgather_forces_local
 
-    if cfg.integrator == "kdk":
-        # Kick-drift-kick, same scheme as ops.step.step: the first half-kick
-        # uses the acceleration carried in state.acc (callers must prime it
-        # with a(x_0); Simulation.__init__ does via prime_kdk).
+    weights = KDK_WEIGHTS.get(cfg.integrator)
+    if weights is not None:
+        # KDK-composed schemes (kdk/yoshida4), same as ops.step.step: the
+        # first half-kick uses the acceleration carried in state.acc
+        # (callers must prime it with a(x_0); Simulation.__init__ does via
+        # prime_kdk).  The sub-step loop unrolls at trace time.
         def one_step(_, carry):
             pos, vel, acc = carry
-            vel_half = kdk_kick(vel, acc, cfg.dt)
-            pos = kdk_drift(pos, vel_half, cfg.dt)
-            new_acc = force(pos, mass_l, cfg, impl, axis)
-            new_vel = kdk_kick(vel_half, new_acc, cfg.dt)
-            return pos, new_vel, new_acc
+            for w in weights:
+                wdt = w * cfg.dt
+                vel_half = kdk_kick(vel, acc, wdt)
+                pos = kdk_drift(pos, vel_half, wdt)
+                acc = force(pos, mass_l, cfg, impl, axis)
+                vel = kdk_kick(vel_half, acc, wdt)
+            return pos, vel, acc
     elif cfg.integrator == "reference":
         def one_step(_, carry):
             pos, vel, acc = carry

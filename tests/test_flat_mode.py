@@ -318,3 +318,15 @@ def test_load_trajectory_snap_count_fallback(tmp_path):
     got, _, snap_every = load_trajectory(path)
     assert len(got) == 2 and snap_every == 2
     np.testing.assert_array_equal(got[1], np.ones((4, 3), np.float32))
+
+
+def test_simulation_flat_yoshida4_matches_regular():
+    """yoshida4's sub-step loop is elementwise + force sweeps, so the flat
+    layout must reproduce the regular path bit-for-bit too."""
+    sim_f = Simulation(_flat_cfg(integrator="yoshida4"))
+    sim_r = Simulation(_reg_cfg(integrator="yoshida4"))
+    res_f = sim_f.run(n_steps=2, log_every=0)
+    res_r = sim_r.run(n_steps=2, log_every=0)
+    np.testing.assert_array_equal(
+        np.asarray(res_f.state.pos).reshape(-1, 3),
+        np.asarray(res_r.state.pos))

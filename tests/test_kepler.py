@@ -44,15 +44,16 @@ def test_analytic_gates_pass(dtype, x64):
     results = run_analytic_gates(impl="xla_nxn", dtype=dtype,
                                  steps_per_period=1024)
     assert [r["gate"] for r in results] == [
-        "circular/reference", "circular/kdk", "elliptic(e=0.6)/kdk"]
+        "circular/reference", "circular/kdk", "circular/yoshida4",
+        "elliptic(e=0.6)/kdk", "elliptic(e=0.6)/yoshida4"]
     for r in results:
         assert r["ok"], r
 
 
 def _orbit_error(gate, steps_per_period, dtype="float64"):
     """One period through run_steps; max position error vs closed form."""
+    integ = gate.split("/")[1]
     if gate.startswith("circular"):
-        integ = gate.split("/")[1]
         eps2 = 0.01
         state, w = two_body_circular(1.0, 1.0, 0.5, eps2, integ, dtype)
         period = 2.0 * math.pi / w
@@ -62,9 +63,9 @@ def _orbit_error(gate, steps_per_period, dtype="float64"):
     else:
         state, period = two_body_elliptic(1.0, 0.6, 1.0, 0.5, dtype)
         cfg = SimConfig(n_bodies=2, dt=period / steps_per_period, eps2=1e-10,
-                        impl="xla_nxn", dtype=dtype, integrator="kdk")
+                        impl="xla_nxn", dtype=dtype, integrator=integ)
         ref = elliptic_positions(period, 1.0, 0.6, 1.0, 0.5)
-    if cfg.integrator == "kdk":
+    if cfg.integrator != "reference":
         state = prime_kdk(state, cfg)
     out = run_steps(state, cfg, steps_per_period)
     return max_rel_error(out.pos, ref, 1.0)
@@ -72,15 +73,20 @@ def _orbit_error(gate, steps_per_period, dtype="float64"):
 
 @pytest.mark.parametrize("gate,lo,hi", [
     # Error ratio when dt halves: ~2 for the first-order reference scheme,
-    # ~4 for second-order KDK (measured 2.03-2.18 / 4.00 / 4.00-4.01).
+    # ~4 for second-order KDK (measured 2.03-2.18 / 4.00 / 4.00-4.01),
+    # ~16 for 4th-order Yoshida (measured 15.84-16.13; run at coarser dt so
+    # the error stays far above the f64 noise floor).
     ("circular/reference", 1.7, 2.8),
     ("circular/kdk", 3.4, 4.6),
     ("elliptic/kdk", 3.4, 4.6),
+    ("circular/yoshida4", 13.0, 19.5),
+    ("elliptic/yoshida4", 13.0, 19.5),
 ])
 def test_convergence_order(gate, lo, hi, x64):
-    e1 = _orbit_error(gate, 1024)
-    e2 = _orbit_error(gate, 2048)
-    e4 = _orbit_error(gate, 4096)
+    spp = 128 if gate.endswith("yoshida4") else 1024
+    e1 = _orbit_error(gate, spp)
+    e2 = _orbit_error(gate, 2 * spp)
+    e4 = _orbit_error(gate, 4 * spp)
     assert lo < e1 / e2 < hi, (e1, e2)
     assert lo < e2 / e4 < hi, (e2, e4)
 

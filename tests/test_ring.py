@@ -73,6 +73,22 @@ def test_sharded_kdk_matches_oracle():
     assert_matches_oracle(np.asarray(out.vel), rvel, "vel(kdk)", abs_tol=1e-2)
 
 
+def test_sharded_yoshida4_matches_oracle():
+    """yoshida4 on the sharded ring path: three force sweeps per step,
+    each riding the same ppermute ring, vs the NumPy yoshida4 twin."""
+    from nbody_tpu.ops.step import prime_kdk
+    n, steps = 512, 10
+    state, pos, vel, mass = make_state(n, seed=23)
+    cfg = SimConfig(n_bodies=n, impl="xla", chunk=64, integrator="yoshida4")
+    state = prime_kdk(state, cfg, impl="xla")
+    mesh = make_mesh()
+    out = run_steps_sharded(state, cfg, mesh, steps, impl="xla", comm="ring")
+    rpos, rvel, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps,
+                               integrator="yoshida4")
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(y4)", abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.vel), rvel, "vel(y4)", abs_tol=1e-2)
+
+
 def test_sharded_with_padding():
     """N not divisible by P: ghosts carry the remainder."""
     n = 500  # pads to 512 on 8 devices with block multiples of 8

@@ -80,6 +80,25 @@ def test_kdk_integrator_runs_and_conserves_better():
     assert np.all(np.isfinite(np.asarray(out.vel)))
 
 
+def test_yoshida4_matches_oracle():
+    """Device yoshida4 vs the independent NumPy yoshida4 twin: same
+    trajectory within the differential gate (the per-sub-step force sweeps
+    and weights must line up exactly; a wrong weight ordering diverges in
+    one step)."""
+    n, steps = 256, 10
+    state, pos, vel, mass = make_state(n, seed=11)
+    cfg = SimConfig(n_bodies=n, impl="xla_nxn", integrator="yoshida4",
+                    dt=0.01)
+    state = prime_kdk(state, cfg)
+    out = run_steps(state, cfg, steps)
+    rpos, rvel, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps,
+                               integrator="yoshida4")
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(yoshida4)",
+                          abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.vel), rvel, "vel(yoshida4)",
+                          abs_tol=1e-2)
+
+
 def test_init_state_ranges():
     cfg = SimConfig(n_bodies=1000, seed=3)
     s = init_state(cfg)
