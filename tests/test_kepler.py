@@ -5,7 +5,10 @@ Verifies, against exact solutions of the project force law:
   * the reference integrator (v += 0.5*dt*a; x += dt*v, kernel.cu:116-124)
     integrates HALF-FORCE dynamics, at first order;
   * the opt-in KDK integrator is true second-order leapfrog;
-  * both through the product step path (ops.step.run_steps).
+  * the yoshida4 integrator converges at 4th order and, like KDK, is
+    exactly time-reversible (palindromic composition) — while the
+    reference scheme is not;
+  * all through the product step path (ops.step.run_steps).
 """
 
 import math
@@ -140,3 +143,36 @@ def test_two_body_momentum_zero(x64):
         st = maker("float64")
         p = (np.asarray(st.mass)[:, None] * np.asarray(st.vel)).sum(axis=0)
         np.testing.assert_allclose(p, 0.0, atol=1e-15)
+
+
+@pytest.mark.parametrize("integ,tol", [("kdk", 1e-9), ("yoshida4", 1e-9)])
+def test_time_reversibility(integ, tol, x64):
+    """KDK and yoshida4 are palindromic compositions, hence exactly
+    time-reversible: one period forward, negate velocities, one period
+    back must return to the initial state up to f64 roundoff.  (The
+    reference scheme is NOT reversible — checked below.)"""
+    state, period = two_body_elliptic(1.0, 0.6, 1.0, 0.5, "float64")
+    spp = 512
+    cfg = SimConfig(n_bodies=2, dt=period / spp, eps2=1e-10,
+                    impl="xla_nxn", dtype="float64", integrator=integ)
+    pos0 = np.asarray(state.pos).copy()
+    fwd = run_steps(prime_kdk(state, cfg), cfg, spp)
+    back = fwd._replace(vel=-fwd.vel)
+    out = run_steps(prime_kdk(back, cfg), cfg, spp)
+    err = max_rel_error(out.pos, pos0, 1.0)
+    assert err < tol, err
+
+
+def test_reference_scheme_not_reversible(x64):
+    """Discriminator: the reference's half-kick-then-drift update is not
+    self-adjoint, so the same round trip misses by orders of magnitude
+    more than roundoff."""
+    state, period = two_body_elliptic(1.0, 0.6, 1.0, 0.5, "float64")
+    spp = 512
+    cfg = SimConfig(n_bodies=2, dt=period / spp, eps2=1e-10,
+                    impl="xla_nxn", dtype="float64", integrator="reference")
+    pos0 = np.asarray(state.pos).copy()
+    fwd = run_steps(state, cfg, spp)
+    out = run_steps(fwd._replace(vel=-fwd.vel), cfg, spp)
+    err = max_rel_error(out.pos, pos0, 1.0)
+    assert err > 1e-4, err
