@@ -125,6 +125,23 @@ def pair_correlation(pos: np.ndarray, n_bins: int = 64,
     return centers, g
 
 
+def angular_momentum(pos: np.ndarray, vel: np.ndarray, mass: np.ndarray,
+                     center: Optional[np.ndarray] = None) -> np.ndarray:
+    """Total angular momentum L = sum_i m_i (r_i - c) x v_i, (3,) float64,
+    about the COM by default.
+
+    The softened pairwise force is central (along r_ij), so L is exactly
+    conserved by the continuous dynamics from ANY start; under the
+    symplectic integrators the numeric drift stays at rounding scale —
+    a conservation diagnostic orthogonal to energy (which leapfrog only
+    bounds) and momentum (trivially zero from the cold start)."""
+    pos = np.asarray(pos, dtype=np.float64)
+    vel = np.asarray(vel, dtype=np.float64)
+    mass = np.asarray(mass, dtype=np.float64)
+    c = center_of_mass(pos, mass) if center is None else np.asarray(center)
+    return (mass[:, None] * np.cross(pos - c, vel)).sum(axis=0)
+
+
 def virial_ratio(pos: np.ndarray, vel: np.ndarray, mass: np.ndarray,
                  eps2: float) -> float:
     """Q = 2K / |W| with the softened potential (Q = 1 in virial

@@ -385,6 +385,18 @@ def cmd_validate(args) -> int:
     p_net = np.abs((mass_f[:, None] * vel_f).sum(axis=0)).max()
     p_scale = float((mass_f * np.linalg.norm(vel_f, axis=1)).sum()) or 1.0
     print(f"[INFO] momentum drift: |P|_max/scale = {p_net / p_scale:.3e}")
+    # Angular momentum diagnostic: every integrator here composes kicks
+    # (central pair forces at fixed positions -> zero torque) and drifts
+    # (dr parallel to v) so L about the COM is conserved EXACTLY — from
+    # the v=0 init L stays 0 up to rounding (analysis.angular_momentum).
+    from .analysis import angular_momentum
+    pos_f = np.asarray(dev.pos, dtype=np.float64)
+    l_net = np.abs(angular_momentum(pos_f, vel_f, mass_f)).max()
+    com = (mass_f[:, None] * pos_f).sum(axis=0) / mass_f.sum()
+    l_scale = float((mass_f * np.linalg.norm(pos_f - com, axis=1)
+                     * np.linalg.norm(vel_f, axis=1)).sum()) or 1.0
+    print(f"[INFO] angular momentum drift: |L|_max/scale = "
+          f"{l_net / l_scale:.3e}")
     if args.energy_gate > 0:
         e_dev = energy_f64(dev, cfg.eps2)
         # energy_f64 reads leaves via np.asarray, so plain numpy works.

@@ -120,3 +120,36 @@ def test_analyze_cli(tmp_path, capsys):
     assert main(["analyze", path, "--json"]) == 0
     res = _json.loads(capsys.readouterr().out)
     assert res["steps"] == [2, 4]
+
+
+def test_angular_momentum_exactly_conserved():
+    """Kick-drift compositions conserve L about the COM exactly (kicks:
+    central pair forces at fixed positions, zero torque; drifts: dr || v)
+    — all three integrators hold L at rounding scale in f64, from a WARM
+    (nonzero-L) start."""
+    import jax
+    import jax.numpy as jnp
+    from nbody_tpu import SimConfig, init_state, prime_kdk, run_steps
+    from nbody_tpu.analysis import angular_momentum
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(5)
+        for integ in ("reference", "kdk", "yoshida4"):
+            cfg = SimConfig(n_bodies=128, impl="xla_nxn", dtype="float64",
+                            dt=0.01, eps2=1.0, max_pos=10.0, min_mass=1.0,
+                            max_mass=2.0, integrator=integ)
+            state = init_state(cfg)
+            vel0 = rng.normal(size=(128, 3))  # warm start: L0 != 0
+            state = state._replace(vel=jnp.asarray(vel0))
+            if integ != "reference":
+                state = prime_kdk(state, cfg)
+            l0 = angular_momentum(np.asarray(state.pos), vel0,
+                                  np.asarray(state.mass))
+            out = run_steps(state, cfg, 50)
+            l1 = angular_momentum(np.asarray(out.pos), np.asarray(out.vel),
+                                  np.asarray(out.mass))
+            rel = np.abs(l1 - l0).max() / max(np.abs(l0).max(), 1e-30)
+            assert rel < 1e-10, (integ, rel, l0, l1)
+    finally:
+        jax.config.update("jax_enable_x64", old)
