@@ -374,6 +374,19 @@ class Simulation:
         stopped = False
         pending_frames = None   # device handle of the previous chunk's maps
 
+        def _camera():
+            """Camera from the frame streamer's ``view_state`` (the live
+            viewer's zoom/pan) as rasterizer world units: ``(max_view,
+            cu, cv)`` — TRACED scalars, so per-chunk changes recompile
+            nothing.  None when the streamer has no camera (fixed-view
+            consumers keep the config-baked trace)."""
+            vs = getattr(frame_streamer, "view_state", None)
+            if vs is None:
+                return None
+            zoom, cx, cy = vs()
+            return (cfg.max_view / zoom, cx * cfg.max_view,
+                    cy * cfg.max_view)
+
         def _poll_control() -> bool:
             """Run control from the frame streamer (the live viewer's
             /stop /pause /resume — the reference's close-window-to-stop,
@@ -428,7 +441,8 @@ class Simulation:
                 # device->host bandwidth-bound); colorized on submit.
                 self.state, frames = run_trajectory_frames(
                     self.state, cfg, todo, frame_every=cfg.viz_every,
-                    impl=self.impl, packed=True)   # async dispatch
+                    impl=self.impl, packed=True,
+                    view=_camera())                # async dispatch
                 _drain_pending()
                 pending_frames = frames
             else:
@@ -454,18 +468,19 @@ class Simulation:
                 # Sharded/multiprog/flat paths: render from the state at
                 # chunk boundaries (the batched on-device path is
                 # single-chip fused only).
+                mv, cu, cv = _camera() or (cfg.max_view, 0.0, 0.0)
                 if self._flat:
                     from ..viz.raster import colorize, render_weights_flat
                     frame = colorize(render_weights_flat(
                         self.state.pos, self.state.mass, cfg.min_mass,
-                        cfg.max_mass, cfg.max_view, cfg.viz_width,
-                        cfg.viz_height))
+                        cfg.max_mass, mv, cfg.viz_width,
+                        cfg.viz_height, cu=cu, cv=cv))
                 else:
                     from ..viz.raster import render_frame
                     frame = render_frame(
                         self.state.pos, self.state.mass, cfg.min_mass,
-                        cfg.max_mass, cfg.max_view, cfg.viz_width,
-                        cfg.viz_height)
+                        cfg.max_mass, mv, cfg.viz_width,
+                        cfg.viz_height, cu=cu, cv=cv)
                 frame_streamer.submit(frame_idx, frame)
                 frame_idx += 1
 

@@ -311,7 +311,8 @@ def run_trajectory_frames(
         state: SimState, cfg: SimConfig, n_steps: int,
         frame_every: int = 1,
         impl: "str | None" = None,
-        packed: bool = False) -> Tuple[SimState, jax.Array]:
+        packed: bool = False,
+        view: "tuple | None" = None) -> Tuple[SimState, jax.Array]:
     """Run n_steps with RENDERED frames captured on device inside the scan.
 
     The interactive-rate path (VERDICT round 1): the reference renders
@@ -325,17 +326,23 @@ def run_trajectory_frames(
     ``packed=True`` an (F, H, W) uint8 weight map (1 byte/pixel — the
     bandwidth-lean wire format; ``viz.raster.colorize`` reproduces the RGB
     pixels exactly on the host).
+
+    ``view``: optional ``(max_view, cu, cv)`` TRACED scalars overriding
+    the config's fixed camera — the live viewer's zoom/pan.  Passed as
+    plain floats they trace as f32 scalars, so per-chunk view changes
+    recompile nothing.
     """
     from ..viz.raster import render_frame, render_weights
 
     render = render_weights if packed else render_frame
+    mv, cu, cv = view if view is not None else (cfg.max_view, 0.0, 0.0)
 
     def outer(s, _):
         s = jax.lax.fori_loop(
             0, frame_every, lambda _, st: step(st, cfg, impl=impl), s)
         frame = render(
-            s.pos, s.mass, cfg.min_mass, cfg.max_mass, cfg.max_view,
-            cfg.viz_width, cfg.viz_height)
+            s.pos, s.mass, cfg.min_mass, cfg.max_mass, mv,
+            cfg.viz_width, cfg.viz_height, 2, cu, cv)
         return s, frame
     n_frames = n_steps // frame_every
     final, frames = jax.lax.scan(outer, state, None, length=n_frames)

@@ -33,7 +33,8 @@ DEFAULT_HEIGHT = 600
 def render_weights(pos: jax.Array, mass: jax.Array,
                    min_mass: float, max_mass: float, max_view: float,
                    width: int = DEFAULT_WIDTH, height: int = DEFAULT_HEIGHT,
-                   view_axis: int = 2) -> jax.Array:
+                   view_axis: int = 2,
+                   cu: float = 0.0, cv: float = 0.0) -> jax.Array:
     """Rasterize bodies to a PACKED (H, W) uint8 weight map on device:
     0 = background, 1..255 = quantized mass weight (the fragment shader's
     [0,1] lerp parameter).  One byte/pixel instead of three — the frame
@@ -44,10 +45,14 @@ def render_weights(pos: jax.Array, mass: jax.Array,
     Where several bodies land on one pixel the max weight wins (a
     depth-less brightest-point rule standing in for GL's last-write;
     deterministic, unlike the reference).  Zero-mass ghosts never draw.
+
+    ``max_view``/``cu``/``cv`` are TRACED scalars: the live viewer's
+    zoom (smaller max_view) and pan (world-space view center on the two
+    projected axes) change per call with zero recompilation.
     """
     axes = [a for a in range(3) if a != view_axis]
-    u = pos[:, axes[0]] / max_view          # NDC x in [-1, 1]
-    v = pos[:, axes[1]] / max_view          # NDC y
+    u = (pos[:, axes[0]] - cu) / max_view   # NDC x in [-1, 1]
+    v = (pos[:, axes[1]] - cv) / max_view   # NDC y
     # Weight in [0,1] like the vertex shader (simulation_visualization.cpp:33)
     weight = jnp.clip((mass - min_mass) / (max_mass - min_mass), 0.0, 1.0)
 
@@ -71,7 +76,8 @@ def render_weights_flat(pos_flat: jax.Array, mass: jax.Array,
                         width: int = DEFAULT_WIDTH,
                         height: int = DEFAULT_HEIGHT,
                         view_axis: int = 2,
-                        panel: int = 1 << 21) -> jax.Array:
+                        panel: int = 1 << 21,
+                        cu: float = 0.0, cv: float = 0.0) -> jax.Array:
     """``render_weights`` for FLAT ``(3N,)`` positions — the >16M-body
     mode (no (N, 3) device array may exist; docs/PERF.md memory walls).
 
@@ -88,8 +94,8 @@ def render_weights_flat(pos_flat: jax.Array, mass: jax.Array,
     def body(splat, args):
         p3, m = args
         p = p3.reshape(panel, 3)
-        u = p[:, axes[0]] / max_view
-        v = p[:, axes[1]] / max_view
+        u = (p[:, axes[0]] - cu) / max_view
+        v = (p[:, axes[1]] - cv) / max_view
         weight = jnp.clip((m - min_mass) / (max_mass - min_mass), 0.0, 1.0)
         px = ((u + 1.0) * 0.5 * (width - 1)).astype(jnp.int32)
         py = ((1.0 - (v + 1.0) * 0.5) * (height - 1)).astype(jnp.int32)
@@ -135,7 +141,8 @@ def colorize(weights) -> np.ndarray:
 def render_frame(pos: jax.Array, mass: jax.Array,
                  min_mass: float, max_mass: float, max_view: float,
                  width: int = DEFAULT_WIDTH, height: int = DEFAULT_HEIGHT,
-                 view_axis: int = 2) -> jax.Array:
+                 view_axis: int = 2,
+                 cu: float = 0.0, cv: float = 0.0) -> jax.Array:
     """Rasterize bodies to an (H, W, 3) uint8 RGB frame on device.
 
     Color: green->red lerp by normalized mass weight, exactly the fragment
@@ -145,5 +152,5 @@ def render_frame(pos: jax.Array, mass: jax.Array,
     on-device colorized variant for consumers that want RGB directly.
     """
     w8 = render_weights(pos, mass, min_mass, max_mass, max_view,
-                        width, height, view_axis)
+                        width, height, view_axis, cu, cv)
     return jnp.asarray(_LUT)[w8]

@@ -17,6 +17,13 @@ streaming the device-rendered frames to any browser:
                  multi-minute stale-grant stall on relayed backends).
                  ``Simulation.run`` polls ``control_state()`` at chunk
                  boundaries and checkpoints before stopping.
+- ``/view``      camera control (zoom/pan — beyond the reference's fixed
+                 unrotated camera): ``?op=in|out|reset|left|right|up|down``
+                 relative steps, or absolute ``?zoom=F&cx=F&cy=F`` (cx/cy
+                 are fractions of the config's max_view).  ``Simulation``
+                 polls ``view_state()`` with the frame cadence and feeds
+                 the rasterizer's TRACED camera scalars — view changes
+                 recompile nothing and apply from the next chunk.
 
 ``LiveViewer`` implements the same ``submit(idx, frame)`` / ``close()``
 interface as ``FrameStreamer``, so it plugs straight into
@@ -43,6 +50,8 @@ padding:.3em 1em;font-family:monospace;cursor:pointer}
 <script>
 function ctl(p){fetch('/'+p,{method:'POST'}).then(r=>r.text())
   .then(t=>{document.getElementById('st').textContent=t;});}
+function view(op){fetch('/view?op='+op,{method:'POST'}).then(r=>r.text())
+  .then(t=>{document.getElementById('vw').textContent=t;});}
 </script></head><body>
 <h3>nbody_tpu &mdash; live simulation view</h3>
 <img src="/stream" alt="live frames">
@@ -50,6 +59,15 @@ function ctl(p){fetch('/'+p,{method:'POST'}).then(r=>r.text())
 <p><button onclick="ctl('pause')">pause</button>
 <button onclick="ctl('resume')">resume</button>
 <button onclick="ctl('stop')">stop</button> <span id="st"></span></p>
+<p>
+<button onclick="view('in')">zoom +</button>
+<button onclick="view('out')">zoom &minus;</button>
+<button onclick="view('left')">&larr;</button>
+<button onclick="view('right')">&rarr;</button>
+<button onclick="view('up')">&uarr;</button>
+<button onclick="view('down')">&darr;</button>
+<button onclick="view('reset')">reset view</button>
+<span id="vw"></span></p>
 <p style="color:#666">stop ends the run cleanly at the next chunk
 boundary (checkpointing first when configured)</p>
 </body></html>
@@ -74,6 +92,9 @@ class LiveViewer:
         self._png: Optional[bytes] = None
         self._closed = False
         self._control = "run"   # "run" | "pause" | "stop"
+        # Camera: zoom factor and view-center offsets as FRACTIONS of the
+        # config's max_view (the renderer owns the world scale).
+        self._view = (1.0, 0.0, 0.0)
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -89,18 +110,27 @@ class LiveViewer:
                 self.wfile.write(body)
 
             def do_POST(self):
-                cmd = self.path.lstrip("/")
+                cmd, _, query = self.path.lstrip("/").partition("?")
                 if cmd in ("stop", "pause", "resume"):
                     viewer._set_control(
                         {"stop": "stop", "pause": "pause",
                          "resume": "run"}[cmd])
                     self._reply_text(f"{cmd} requested (applies at the "
                                      f"next chunk boundary)")
+                elif cmd == "view":
+                    try:
+                        z, cx, cy = viewer._set_view(query)
+                    except ValueError as e:
+                        self.send_error(400, str(e))
+                        return
+                    self._reply_text(
+                        f"zoom {z:g}x center ({cx:+.2f}, {cy:+.2f})")
                 else:
                     self.send_error(404)
 
             def do_GET(self):
-                if self.path.lstrip("/") in ("stop", "pause", "resume"):
+                head = self.path.lstrip("/").partition("?")[0]
+                if head in ("stop", "pause", "resume", "view"):
                     return self.do_POST()   # curl-friendly
                 self._do_get()
 
@@ -178,6 +208,55 @@ class LiveViewer:
         ``Simulation.run`` polls this at chunk boundaries."""
         with self._cond:
             return self._control
+
+    # -- camera --------------------------------------------------------------
+    _PAN_STEP = 0.25          # of the current (zoomed) view half-width
+    _ZOOM_STEP = 1.25
+
+    def _set_view(self, query: str):
+        """Apply a /view request: relative ``op=...`` or absolute
+        ``zoom=&cx=&cy=`` (unknown keys rejected).  Returns the new view."""
+        from urllib.parse import parse_qsl
+        params = dict(parse_qsl(query))
+        with self._cond:
+            z, cx, cy = self._view
+            if "op" in params:
+                op = params["op"]
+                step = self._PAN_STEP / z
+                if op == "in":
+                    z *= self._ZOOM_STEP
+                elif op == "out":
+                    z /= self._ZOOM_STEP
+                elif op == "left":
+                    cx -= step
+                elif op == "right":
+                    cx += step
+                elif op == "up":
+                    cy += step
+                elif op == "down":
+                    cy -= step
+                elif op == "reset":
+                    z, cx, cy = 1.0, 0.0, 0.0
+                else:
+                    raise ValueError(f"unknown view op {op!r}")
+            else:
+                try:
+                    z = float(params.get("zoom", z))
+                    cx = float(params.get("cx", cx))
+                    cy = float(params.get("cy", cy))
+                except (TypeError, ValueError):
+                    raise ValueError("zoom/cx/cy must be numbers")
+            if not (1e-3 <= z <= 1e3):
+                raise ValueError("zoom out of range [1e-3, 1e3]")
+            self._view = (z, cx, cy)
+            return self._view
+
+    def view_state(self):
+        """Current camera request ``(zoom, cx, cy)``; cx/cy are fractions
+        of the config's max_view.  ``Simulation`` polls this with the
+        frame cadence and feeds the rasterizer's traced camera scalars."""
+        with self._cond:
+            return self._view
 
     def request_stop(self) -> None:
         """Programmatic stop (same path as the browser button)."""

@@ -232,3 +232,91 @@ def test_tee_streamer_forwards_control(tmp_path):
             assert tee.control_state() == "stop"
     finally:
         viewer.close()
+
+
+def test_render_pan_zoom_camera():
+    """Traced camera scalars: pan centers a body on the middle pixel;
+    zoom-in clips bodies outside the shrunk view box."""
+    from nbody_tpu.viz.raster import render_weights
+    pos = jnp.array([[60.0, -30.0, 0.0]])
+    mass = jnp.array([5e8])
+    w, h = 33, 25
+    # Fixed camera: body lands off-center.
+    base = np.asarray(render_weights(pos, mass, 1e5, 1e9, 100.0, w, h))
+    ys, xs = np.nonzero(base)
+    assert (xs[0], ys[0]) != (w // 2, h // 2)
+    # Pan to the body: it must land exactly on the center pixel.
+    panned = np.asarray(render_weights(pos, mass, 1e5, 1e9, 100.0, w, h,
+                                       2, 60.0, -30.0))
+    ys, xs = np.nonzero(panned)
+    assert (xs[0], ys[0]) == (w // 2, h // 2)
+    # Zoom in (smaller max_view) without panning: the body clips out.
+    zoomed = np.asarray(render_weights(pos, mass, 1e5, 1e9, 25.0, w, h))
+    assert not zoomed.any()
+    # Flat rasterizer: identical pixels under the same camera.
+    from nbody_tpu.viz.raster import render_weights_flat
+    flat = np.asarray(render_weights_flat(
+        pos.reshape(-1), mass, 1e5, 1e9, 100.0, w, h, 2, 8, 60.0, -30.0))
+    np.testing.assert_array_equal(flat, panned)
+
+
+def test_viewer_view_endpoint():
+    """/view relative ops and absolute sets update view_state; bad input
+    is rejected without changing it."""
+    import urllib.request
+    from urllib.error import HTTPError
+    from nbody_tpu.viz.server import LiveViewer
+    with LiveViewer(port=0) as lv:
+        url = f"http://127.0.0.1:{lv.port}"
+        assert lv.view_state() == (1.0, 0.0, 0.0)
+        urllib.request.urlopen(f"{url}/view?op=in", data=b"")
+        z, cx, cy = lv.view_state()
+        assert z == 1.25 and (cx, cy) == (0.0, 0.0)
+        urllib.request.urlopen(f"{url}/view?op=right", data=b"")
+        z, cx, cy = lv.view_state()
+        assert cx == 0.25 / 1.25 and cy == 0.0
+        urllib.request.urlopen(f"{url}/view?zoom=4&cx=-0.5&cy=0.125")
+        assert lv.view_state() == (4.0, -0.5, 0.125)
+        try:
+            urllib.request.urlopen(f"{url}/view?zoom=0", data=b"")
+            raise AssertionError("zoom=0 must 400")
+        except HTTPError as e:
+            assert e.code == 400
+        assert lv.view_state() == (4.0, -0.5, 0.125)
+        urllib.request.urlopen(f"{url}/view?op=reset", data=b"")
+        assert lv.view_state() == (1.0, 0.0, 0.0)
+
+
+def test_simulation_honors_viewer_camera(tmp_path):
+    """A zoomed/panned view_state reaches the batched on-device render:
+    submitted frames equal a direct render with the same camera."""
+    from nbody_tpu import SimConfig, init_state
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.ops.step import run_steps
+    from nbody_tpu.viz.raster import colorize, render_weights
+
+    class CamStreamer:
+        frames = []
+
+        def view_state(self):
+            return (2.0, 0.1, -0.2)   # zoom 2x, panned
+
+        def submit(self, idx, frame):
+            self.frames.append(np.asarray(frame))
+
+        def close(self):
+            pass
+
+    cfg = SimConfig(n_bodies=64, impl="xla_nxn", viz_every=2,
+                    viz_width=48, viz_height=36)
+    sim = Simulation(cfg)
+    fs = CamStreamer()
+    sim.run(n_steps=4, log_every=0, frame_streamer=fs)
+    assert len(fs.frames) == 2
+    ref_state = run_steps(init_state(cfg), cfg, 2)
+    mv = cfg.max_view / 2.0
+    expect = colorize(render_weights(
+        ref_state.pos, ref_state.mass, cfg.min_mass, cfg.max_mass, mv,
+        cfg.viz_width, cfg.viz_height, 2,
+        0.1 * cfg.max_view, -0.2 * cfg.max_view))
+    np.testing.assert_array_equal(fs.frames[0], expect)
