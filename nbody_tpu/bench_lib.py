@@ -35,17 +35,19 @@ def run_benchmark(n: int = 65536, steps: int = 20,
                   panel_nb: Optional[int] = None,
                   block_u: Optional[int] = None,
                   prog_cap: Optional[float] = None,
-                  flat_state: Optional[bool] = None) -> dict:
+                  flat_state: Optional[bool] = None,
+                  resident: Optional[bool] = None) -> dict:
     from .utils.compcache import enable_compilation_cache
     enable_compilation_cache()
     cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
                     chunk=chunk, seed=seed, panel_nb=panel_nb,
                     block_u=block_u, prog_cap=prog_cap,
-                    flat_state=flat_state)
+                    flat_state=flat_state, resident=resident)
     impl_resolved = resolve_impl(cfg)
 
     mesh = None
     used_flat = False
+    used_resident = False
     steps_are_static = True   # does the compiled program embed n_steps?
     if shards and shards > 1:
         from .parallel.mesh import make_mesh
@@ -61,6 +63,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
             return run_steps_sharded(s, cfg, mesh, k, impl=impl_resolved,
                                      comm=comm)
     else:
+        from .ops.resident import should_use_resident
         from .ops.step import (max_fused_steps, run_steps_flat,
                                run_steps_multiprog, should_use_flat,
                                should_use_multiprog)
@@ -83,6 +86,20 @@ def run_benchmark(n: int = 65536, steps: int = 20,
 
             def advance(s, k):
                 return run_steps_multiprog(s, cfg, k, impl=impl_resolved)
+        elif should_use_resident(cfg, impl_resolved):
+            # VMEM-resident multi-step mode at small N: whole chunks run
+            # inside one device program (same routing as Simulation).
+            from .ops.resident import run_steps_resident
+            state = init_state(cfg)
+            used_resident = True
+            bound = max_fused_steps(cfg)
+
+            def advance(s, k):
+                while k > 0:
+                    todo = min(k, bound)
+                    s = run_steps_resident(s, cfg, todo)
+                    k -= todo
+                return s
         else:
             # Fused dispatch, chunked so no single program exceeds the
             # bound (chunks queue asynchronously; timing is unaffected).
@@ -152,6 +169,7 @@ def run_benchmark(n: int = 65536, steps: int = 20,
         "devices": jax.device_count() if shards else 1,
         "shards": shards or 1,
         "flat": used_flat,
+        "resident": used_resident,
     }
     if energy and e0 is not None:
         scale = abs(e0) or 1.0

@@ -45,6 +45,7 @@ _ARG_TO_CFG = {
     "block_i": "block_i", "block_j": "block_j", "block_u": "block_u",
     "chunk": "chunk", "dtype": "dtype", "prog_cap": "prog_cap",
     "flat_state": "flat_state", "panel_nb": "panel_nb",
+    "resident": "resident",
 }
 
 
@@ -111,6 +112,15 @@ def _add_sim_args(p: argparse.ArgumentParser):
                    help="flat (3N,) state layout (the >16M-body mode); "
                         "auto engages above ~16.7M bodies for pallas_sym* "
                         "impls (the (N,3) tiled-copy wall, docs/PERF.md)")
+    p.add_argument("--resident", default=None, action=_TrackedStore,
+                   type=_parse_flat_state,
+                   choices=[None, True, False], metavar="{auto,on,off}",
+                   help="VMEM-resident multi-step mode (whole chunks run "
+                        "in one device program with state held in VMEM); "
+                        "auto engages for exact-tier impls + the reference "
+                        "integrator at 2048 < N <= 8192 (measured 1.97x at "
+                        "3072, 1.22x at 4096, 1.11x at 8192 — "
+                        "ops/resident.py)")
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
     p.add_argument("--comm", default="ring",
@@ -132,6 +142,7 @@ def _make_cfg(args):
         panel_nb=getattr(args, "panel_nb", None),
         prog_cap=getattr(args, "prog_cap", None),
         flat_state=getattr(args, "flat_state", None),
+        resident=getattr(args, "resident", None),
         dtype=getattr(args, "dtype", "float32"),
         viz=getattr(args, "viz", False),
         viz_every=getattr(args, "viz_every", 1) or 1,
@@ -423,6 +434,7 @@ def cmd_bench(args) -> int:
         panel_nb=getattr(args, "panel_nb", None),
         prog_cap=getattr(args, "prog_cap", None),
         flat_state=getattr(args, "flat_state", None),
+        resident=getattr(args, "resident", None),
         shards=args.shards or None, comm=args.comm,
         energy=args.energy, warmup_steps=args.warmup, trials=args.trials)
     print(json.dumps(result))

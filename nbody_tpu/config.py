@@ -121,6 +121,17 @@ class SimConfig:
     # regular (N, 3) layout and fails past the wall.
     flat_state: Optional[bool] = None
 
+    # VMEM-resident multi-step mode (ops/resident.py): at small N the whole
+    # state fits in VMEM, so K steps run inside ONE device program with zero
+    # HBM state traffic between steps (measured 1.97x at N=3072, 1.22x at
+    # 4096, 1.11x at the reference's own N=8192 design point vs the best
+    # per-step path at equal steps-per-program — scripts/r6_fair.py).
+    # None = auto: engages for exact-tier impls + the reference integrator
+    # in the measured-profitable window 2048 < N <= 8192
+    # (ops.resident.should_use_resident).
+    # True forces it (errors when out of scope); False disables.
+    resident: Optional[bool] = None
+
     # Multi-chip: number of mesh shards ("auto" = all local devices).
     shards: Optional[int] = None
 

@@ -135,6 +135,14 @@ class Simulation:
         # priming: the priming heartbeat below keys off it.)
         self._use_multiprog = self._flat or (
             mesh is None and should_use_multiprog(cfg, self.impl))
+        # VMEM-resident multi-step routing (the small-N counterpart of the
+        # flat/multiprog modes): whole chunks run inside one device program
+        # with state held in VMEM — measured 1.22x at N=4096 and 1.11x at
+        # the reference's own N=8192 design point (scripts/r6_fair.py).
+        from ..ops.resident import should_use_resident
+        self._resident = (mesh is None and not self._flat
+                          and not self._use_multiprog
+                          and should_use_resident(cfg, self.impl))
         if cfg.integrator != "reference":
             # The priming force eval is as long as any stepping eval (a
             # full N² sweep — ~45 min at 33.5M) and happens before run()
@@ -225,6 +233,9 @@ class Simulation:
             self.state = run_steps_multiprog(
                 self.state, self.cfg, n, impl=self.impl,
                 progress=self.progress)
+        elif self._resident:
+            from ..ops.resident import run_steps_resident
+            self.state = run_steps_resident(self.state, self.cfg, n)
         else:
             self.state = run_steps(self.state, self.cfg, n, impl=self.impl)
 

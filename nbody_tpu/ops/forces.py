@@ -38,7 +38,20 @@ def resolve_impl(cfg: SimConfig) -> str:
         # vs 135.6 at 16k, 246.0 vs 168.0 at 32k, 28.5 vs 23.1 at 4k);
         # below 4k the one-sided kernel's block auto-shrink avoids sym2's
         # superblock ghost padding and the rates are interactive-trivial.
-        return "pallas_sym2" if cfg.n_bodies >= 4096 else "pallas"
+        if cfg.n_bodies >= 4096:
+            return "pallas_sym2"
+        # 2048 < N < 4096: the VMEM-resident multi-step mode beats any
+        # per-step kernel choice there (172.6 vs one-sided pallas's 87.7
+        # at 3072 — scripts/r6_fair.py); resolve to sym2 so the routing
+        # layers (Simulation/bench_lib) engage it.  At N <= 2048 the
+        # resident layout degenerates to a diagonal-only sweep (parity
+        # with pallas) and auto stays on the one-sided kernel.
+        from .resident import resident_layout
+        if cfg.resident is not False and cfg.integrator == "reference":
+            lay = resident_layout(cfg.n_bodies)
+            if lay is not None and lay[0] >= 3:
+                return "pallas_sym2"
+        return "pallas"
     return "xla"
 
 

@@ -88,10 +88,17 @@ def test_auto_impl_prefers_sym_on_tpu(monkeypatch):
     import jax
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolve_impl(SimConfig(n_bodies=65536)) == "pallas_sym2"
-    # sym2 wins down to 4096 (scripts/r5_crossover.py); below that the
-    # one-sided kernel's block auto-shrink avoids superblock padding.
+    # sym2 wins down to 4096 (scripts/r5_crossover.py); in (2048, 4096)
+    # the VMEM-resident mode (ops/resident.py) serves exact sym tiers, so
+    # auto resolves to sym2 there to engage it; at N <= 2048 the resident
+    # sweep is diagonal-only (parity) and auto stays on the one-sided
+    # kernel, as it does whenever resident routing is out of scope.
     assert resolve_impl(SimConfig(n_bodies=8192)) == "pallas_sym2"
     assert resolve_impl(SimConfig(n_bodies=4096)) == "pallas_sym2"
+    assert resolve_impl(SimConfig(n_bodies=3072)) == "pallas_sym2"
+    assert resolve_impl(SimConfig(n_bodies=3072, resident=False)) == "pallas"
+    assert resolve_impl(
+        SimConfig(n_bodies=3072, integrator="yoshida4")) == "pallas"
     assert resolve_impl(SimConfig(n_bodies=2048)) == "pallas"
 
 
