@@ -117,10 +117,10 @@ def _add_sim_args(p: argparse.ArgumentParser):
                    choices=[None, True, False], metavar="{auto,on,off}",
                    help="VMEM-resident multi-step mode (whole chunks run "
                         "in one device program with state held in VMEM); "
-                        "auto engages for exact-tier impls + the reference "
-                        "integrator at 2048 < N <= 8192 (measured 1.97x at "
-                        "3072, 1.22x at 4096, 1.11x at 8192 — "
-                        "ops/resident.py)")
+                        "auto engages for exact-tier impls at "
+                        "2048 < N <= 8192 (reference scheme; KDK/yoshida4 "
+                        "above 3072) — measured 1.28x at 4096, 1.10x at "
+                        "8192 (ops/resident.py)")
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
     p.add_argument("--comm", default="ring",

@@ -137,7 +137,7 @@ class Simulation:
             mesh is None and should_use_multiprog(cfg, self.impl))
         # VMEM-resident multi-step routing (the small-N counterpart of the
         # flat/multiprog modes): whole chunks run inside one device program
-        # with state held in VMEM — measured 1.22x at N=4096 and 1.11x at
+        # with state held in VMEM — measured 1.28x at N=4096 and 1.10x at
         # the reference's own N=8192 design point (scripts/r6_fair.py).
         from ..ops.resident import should_use_resident
         self._resident = (mesh is None and not self._flat

@@ -33,19 +33,23 @@ def resolve_impl(cfg: SimConfig) -> str:
     if on_tpu:
         # sym2 = the symmetric-weight exact tier (23 flops/pair, same
         # oracle-exact contract; docs/PERF.md round 4).  It beats the
-        # one-sided kernel at EVERY measured N >= 4096 (same-protocol
-        # sweep, scripts/r5_crossover.py: 83.8 vs 78.0 G/s at 8k, 175.5
-        # vs 135.6 at 16k, 246.0 vs 168.0 at 32k, 28.5 vs 23.1 at 4k);
-        # below 4k the one-sided kernel's block auto-shrink avoids sym2's
-        # superblock ghost padding and the rates are interactive-trivial.
-        if cfg.n_bodies >= 4096:
+        # one-sided kernel at EVERY measured N >= 3072 (same-protocol
+        # sweep, scripts/r5_crossover.py, re-measured under the fair
+        # long-run protocol in scripts/r6_fair.py: 176.8 vs 89.3 G/s at
+        # 3072, 139.5 vs ~124 at 4096, 195.8 vs ~168 at 8192); at 2048
+        # the superblock ghost padding flips it (81.9 vs 123.3) and the
+        # one-sided kernel's block auto-shrink wins.
+        if cfg.n_bodies >= 3072:
             return "pallas_sym2"
-        # 2048 < N < 4096: the VMEM-resident multi-step mode beats any
-        # per-step kernel choice there (172.6 vs one-sided pallas's 87.7
-        # at 3072 — scripts/r6_fair.py); resolve to sym2 so the routing
-        # layers (Simulation/bench_lib) engage it.  At N <= 2048 the
-        # resident layout degenerates to a diagonal-only sweep (parity
-        # with pallas) and auto stays on the one-sided kernel.
+        # 2048 < N < 3072: reference-scheme runs ride the VMEM-resident
+        # window (resident >= sym2 >= pallas at every measured N there —
+        # scripts/r6_fair.py); resolve to sym2 so the routing layers
+        # (Simulation/bench_lib) engage it.  At N <= 2048 the resident
+        # layout degenerates to a diagonal-only sweep (parity with
+        # pallas) and auto stays on the one-sided kernel.  KDK-composed
+        # schemes don't redirect here: their resident window opens above
+        # 3072 (ops/resident.py) and per-step sym2 below 3072 is
+        # unmeasured-to-losing.
         from .resident import resident_layout
         if cfg.resident is not False and cfg.integrator == "reference":
             lay = resident_layout(cfg.n_bodies)

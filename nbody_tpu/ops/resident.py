@@ -52,10 +52,17 @@ Accuracy: identical per-pair math to ``pallas_sym2``; only the
 accumulation grouping differs (reassociation ulps) — same exact class,
 oracle-gated in tests/test_resident.py.
 
-Scope: ``integrator == "reference"`` (the contract scheme); KDK-composed
-schemes need a force evaluation mid-update and are served by the standard
-path.  Applicability is VMEM-bound: ``resident_layout`` returns None when
-no geometry fits (N beyond ~16k), and callers fall back.
+Scope: the reference contract scheme AND the KDK-composed schemes (kdk,
+yoshida4 — ``models/integrators.py``).  A KDK sub-step needs the force
+evaluation mid-update, which costs the per-step path one full program
+round-trip per sub-step (3/step for yoshida4); resident mode runs the
+whole composition on a ``(K*S, nb+2)`` grid — pre-phase kick+drift on
+the carried acceleration, sweep phases, post-phase descale + second
+half-kick — with the sub-step weight selected from the static table by
+``program_id mod S``.  Like ``run_steps``, the KDK path consumes
+``state.acc`` as the seeded a(x_0) (``prime_kdk``).  Applicability is
+VMEM-bound: ``resident_layout`` returns None when no geometry fits
+(N beyond ~16k), and callers fall back.
 """
 
 from __future__ import annotations
@@ -67,6 +74,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..models.integrators import KDK_WEIGHTS
 from ..models.state import SimState, pad_state_to
 from .forces_pallas_sym import _pair_products_sym
 
@@ -79,17 +87,23 @@ _RESIDENT_VMEM_BUDGET = 13 * 1024 * 1024
 RESIDENT_IMPLS = ("pallas_sym2", "pallas_sym")
 
 # Auto-routing crossover (measured at EQUAL steps-per-program and sync
-# pattern, scripts/r6_fair.py on v5e): the resident kernel beats the
-# best per-step path 172.6 vs 87.7 G/s at N=3072 (1.97x vs one-sided
-# pallas, the auto choice there), 168.4 vs 138.0 at 4096 (1.22x vs
-# sym2), 216.1 vs 195.1 at 8192 (1.11x); at 12288 it's parity-to-
-# slightly-behind (214.8 vs 219.1) and at 16384 the VMEM budget forces
-# narrow superblocks (nb=43, U=384) and the standard path clearly wins
-# (182.6 vs 238.3).  Below: when the chosen layout degenerates to nb=1
+# pattern, scripts/r6_fair.py on v5e): the resident kernel beats per-step
+# sym2 178.3 vs 139.5 G/s at N=4096 (1.28x), 215.4 vs 195.8 at 8192
+# (1.10x); at the perfect-panel-fit 3072 it's parity (177.8 vs 176.8);
+# at 12288 parity-to-slightly-behind (214.8 vs 219.1) and at 16384 the
+# VMEM budget forces narrow superblocks (nb=43, U=384) and the standard
+# path clearly wins (182.6 vs 238.3).  Below: when the chosen layout degenerates to nb=1
 # (always true at N<=2048) the sweep is diagonal-only — no N3L halving,
 # same flops as the one-sided kernel — and measures parity (119.8 vs
 # 123.3 at 2048, 84.2 vs 81.2 at 1024), so auto stays off there.
 RESIDENT_AUTO_MAX_N = 8192
+
+# KDK-composed schemes open their window strictly ABOVE 3072: their
+# standard path fuses S sub-steps per program (rent amortized S-fold),
+# and at the perfect-panel-fit N=3072 it measures FASTER than resident
+# (191.2 vs 175.4 G/s yoshida4 — scripts/r6_fair.py recheck); at 4096+
+# resident wins (1.22-1.23x at 4096, 1.07-1.10x at 8192, both schemes).
+RESIDENT_AUTO_KDK_MIN_N = 3072
 
 
 def should_use_resident(cfg, impl: str) -> bool:
@@ -104,8 +118,9 @@ def should_use_resident(cfg, impl: str) -> bool:
         return False
     forced = cfg.resident is True
     reasons = []
-    if cfg.integrator != "reference":
-        reasons.append(f"integrator={cfg.integrator!r} (needs 'reference')")
+    if cfg.integrator != "reference" and cfg.integrator not in KDK_WEIGHTS:
+        reasons.append(f"integrator={cfg.integrator!r} (needs 'reference' "
+                       "or a KDK-composed scheme)")
     if cfg.dtype != "float32":
         reasons.append(f"dtype={cfg.dtype!r} (kernel is float32-only)")
     if impl not in RESIDENT_IMPLS:
@@ -123,8 +138,14 @@ def should_use_resident(cfg, impl: str) -> bool:
         return False
     # Auto: profitable only inside the measured window — the layout must
     # give a symmetric sweep (nb >= 3; nb=1 is diagonal-only, measured
-    # parity with the one-sided kernel) and N at or below the crossover.
-    return forced or (lay[0] >= 3 and cfg.n_bodies <= RESIDENT_AUTO_MAX_N)
+    # parity with the one-sided kernel) and N at or below the crossover;
+    # KDK-composed schemes additionally need N above their own floor.
+    if forced:
+        return True
+    if cfg.integrator in KDK_WEIGHTS \
+            and cfg.n_bodies <= RESIDENT_AUTO_KDK_MIN_N:
+        return False
+    return lay[0] >= 3 and cfg.n_bodies <= RESIDENT_AUTO_MAX_N
 
 
 def _layout_vmem_bytes(nb, block_u, block_i, m):
@@ -132,7 +153,9 @@ def _layout_vmem_bytes(nb, block_u, block_i, m):
 
     Scratch: posT/velT/accT (nb,3,U) pad sublanes 3->8; massT/winvT
     (nb,1,U) pad 1->8; accb (U,3) and posbI (U,4) pad lanes ->128.
-    Streams: 3 inputs + 3 outputs at (8, m) physical.  Tile live set:
+    Streams: 4 inputs + 3 outputs at (8, m) physical (the KDK kernel's
+    acc input counted for both — layouts are insensitive to it at every
+    measured N).  Tile live set:
     with the si sub-loops SERIALIZED (lax.fori_loop) Mosaic's scoped
     stack holds ~6 (BI, U) f32 temporaries (dx/dy/dz + weight + product
     + reduction slack; a statically unrolled sweep multiplied this by
@@ -141,7 +164,7 @@ def _layout_vmem_bytes(nb, block_u, block_i, m):
     t_state = 3 * nb * 8 * block_u * 4
     mass_rows = 2 * nb * 8 * block_u * 4
     blocked = 2 * block_u * 128 * 4            # accb + posbI
-    streams = 6 * 8 * m * 4
+    streams = 7 * 8 * m * 4
     live = 6 * block_i * block_u * 4
     return t_state + mass_rows + blocked + streams + live
 
@@ -189,6 +212,76 @@ def _diag_tile_vpu2(xi, mcol, xjT, mrow, eps2):
          jnp.sum(f * dz, axis=1, keepdims=True)], axis=1)   # (BI, 3)
 
 
+def _load_resident_state(nb, block_u, posT_in, velT_in, mass_in,
+                         posT_s, velT_s, massT_s, winvT_s):
+    """First-phase load: stage the whole padded state into VMEM scratch
+    (superblock-sliced) and precompute the 1/m descale rows (ghosts -> 0)."""
+    for s in range(nb):
+        sl = slice(s * block_u, (s + 1) * block_u)
+        posT_s[s] = posT_in[:, sl]
+        velT_s[s] = velT_in[:, sl]
+        mrow = mass_in[:, sl]
+        massT_s[s] = mrow
+        winvT_s[s] = jnp.where(mrow > 0, 1.0 / mrow, 0.0)
+
+
+def _sweep_superblock(I, eps2, nb, du, sub, block_i,
+                      posT_s, massT_s, accT_s, accb_s, posbI_s):
+    """One sweep phase: superblock I's diagonal tile plus its half of the
+    circular off-diagonal sweep, i-side into ``accb_s``, j-side RMW into
+    the resident accumulator.  Shared verbatim by the reference-scheme and
+    KDK-composed kernels (identical pair math = identical exact tier)."""
+    own = (pl.ds(I, 1), slice(None), slice(None))
+    xjT_own = posT_s[own][0]                     # (3, U)
+    mrow_own = massT_s[own][0]                   # (1, U)
+    # The phase's i-side operand: positions + mass of superblock I
+    # on SUBLANES, via one fused (4, U) -> (U, 4) transpose, staged
+    # in a VMEM scratch ref: Mosaic's compiled lowering has no
+    # dynamic_slice on VALUES inside fori_loop (only pl.ds ref
+    # indexing — the proven dynamic-offset scatter pattern).
+    pm4 = jnp.concatenate([xjT_own, mrow_own], axis=0)
+    posbI_s[...] = jnp.transpose(pm4, (1, 0))    # (U, 4)
+
+    def _xi(si):
+        return posbI_s[pl.ds(si * block_i, block_i), :]
+
+    # Sub-block loops run as lax.fori_loop: a statically unrolled
+    # si sweep keeps EVERY iteration's (BI, U) temporaries live on
+    # Mosaic's scoped-VMEM stack (measured 48.6 MB at 8k with
+    # sub=4 — compile-time OOM); serializing bounds the stack to
+    # one iteration's live set.
+    def diag_si(si, _):
+        xi = _xi(si)
+        accb_s[pl.ds(si * block_i, block_i), :] = _diag_tile_vpu2(
+            xi[:, 0:3], xi[:, 3:4], xjT_own, mrow_own, eps2)
+        return 0
+    jax.lax.fori_loop(0, sub, diag_si, 0)
+
+    if du > 0:
+        def dd_body(dd, _):
+            J = jax.lax.rem(I + 1 + dd, jnp.int32(nb))
+            slj = (pl.ds(J, 1), slice(None), slice(None))
+            xjT = posT_s[slj][0]
+            mrow = massT_s[slj][0]
+
+            def od_si(si, _):
+                xi = _xi(si)
+                ai, aj = _pair_products_sym(
+                    xi[:, 0:3], xjT, mrow, xi[:, 3:4], eps2)
+                row = pl.ds(si * block_i, block_i)
+                accb_s[row, :] += ai
+                accT_s[slj] = accT_s[slj] - aj[None]
+                return 0
+            jax.lax.fori_loop(0, sub, od_si, 0)
+            return 0
+        jax.lax.fori_loop(0, du, dd_body, 0)
+
+    # Fold the phase's i-side sums into the lane-oriented
+    # accumulator: one (U, 3) -> (3, U) transpose per phase.
+    sli = (pl.ds(I, 1), slice(None), slice(None))
+    accT_s[sli] = accT_s[sli] + jnp.transpose(accb_s[:], (1, 0))[None]
+
+
 @functools.lru_cache(maxsize=None)
 def _make_resident_kernel(eps2, dt, nb, sub, block_i, block_u, n_steps):
     du = (nb - 1) // 2
@@ -201,67 +294,14 @@ def _make_resident_kernel(eps2, dt, nb, sub, block_i, block_u, n_steps):
 
         @pl.when(jnp.logical_and(k == 0, phase == 0))
         def _init():
-            for s in range(nb):
-                sl = slice(s * block_u, (s + 1) * block_u)
-                posT_s[s] = posT_in[:, sl]
-                velT_s[s] = velT_in[:, sl]
-                mrow = mass_in[:, sl]
-                massT_s[s] = mrow
-                winvT_s[s] = jnp.where(mrow > 0, 1.0 / mrow, 0.0)
+            _load_resident_state(nb, block_u, posT_in, velT_in, mass_in,
+                                 posT_s, velT_s, massT_s, winvT_s)
             accT_s[...] = jnp.zeros_like(accT_s)
 
         @pl.when(phase < nb)
         def _sweep():
-            I = phase
-            own = (pl.ds(I, 1), slice(None), slice(None))
-            xjT_own = posT_s[own][0]                     # (3, U)
-            mrow_own = massT_s[own][0]                   # (1, U)
-            # The phase's i-side operand: positions + mass of superblock I
-            # on SUBLANES, via one fused (4, U) -> (U, 4) transpose, staged
-            # in a VMEM scratch ref: Mosaic's compiled lowering has no
-            # dynamic_slice on VALUES inside fori_loop (only pl.ds ref
-            # indexing — the proven dynamic-offset scatter pattern).
-            pm4 = jnp.concatenate([xjT_own, mrow_own], axis=0)
-            posbI_s[...] = jnp.transpose(pm4, (1, 0))    # (U, 4)
-
-            def _xi(si):
-                return posbI_s[pl.ds(si * block_i, block_i), :]
-
-            # Sub-block loops run as lax.fori_loop: a statically unrolled
-            # si sweep keeps EVERY iteration's (BI, U) temporaries live on
-            # Mosaic's scoped-VMEM stack (measured 48.6 MB at 8k with
-            # sub=4 — compile-time OOM); serializing bounds the stack to
-            # one iteration's live set.
-            def diag_si(si, _):
-                xi = _xi(si)
-                accb_s[pl.ds(si * block_i, block_i), :] = _diag_tile_vpu2(
-                    xi[:, 0:3], xi[:, 3:4], xjT_own, mrow_own, eps2)
-                return 0
-            jax.lax.fori_loop(0, sub, diag_si, 0)
-
-            if du > 0:
-                def dd_body(dd, _):
-                    J = jax.lax.rem(I + 1 + dd, jnp.int32(nb))
-                    slj = (pl.ds(J, 1), slice(None), slice(None))
-                    xjT = posT_s[slj][0]
-                    mrow = massT_s[slj][0]
-
-                    def od_si(si, _):
-                        xi = _xi(si)
-                        ai, aj = _pair_products_sym(
-                            xi[:, 0:3], xjT, mrow, xi[:, 3:4], eps2)
-                        row = pl.ds(si * block_i, block_i)
-                        accb_s[row, :] += ai
-                        accT_s[slj] = accT_s[slj] - aj[None]
-                        return 0
-                    jax.lax.fori_loop(0, sub, od_si, 0)
-                    return 0
-                jax.lax.fori_loop(0, du, dd_body, 0)
-
-            # Fold the phase's i-side sums into the lane-oriented
-            # accumulator: one (U, 3) -> (3, U) transpose per phase.
-            sli = (pl.ds(I, 1), slice(None), slice(None))
-            accT_s[sli] = accT_s[sli] + jnp.transpose(accb_s[:], (1, 0))[None]
+            _sweep_superblock(phase, eps2, nb, du, sub, block_i,
+                              posT_s, massT_s, accT_s, accb_s, posbI_s)
 
         @pl.when(phase == nb)
         def _integrate():
@@ -278,6 +318,78 @@ def _make_resident_kernel(eps2, dt, nb, sub, block_i, block_u, n_steps):
                 def _(s=s, a=a, v=v, p=p):
                     sl = slice(s * block_u, (s + 1) * block_u)
                     posT_out[:, sl] = p
+                    velT_out[:, sl] = v
+                    accT_out[:, sl] = a
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_resident_kernel_kdk(eps2, dt, weights, nb, sub, block_i, block_u,
+                              n_steps):
+    """KDK-composed resident kernel: grid ``(n_steps * S, nb + 2)``.
+
+    Each outer grid step is ONE sub-step of weight ``weights[k mod S]``
+    (``models/integrators.py::KDK_WEIGHTS`` — kdk S=1, yoshida4 S=3):
+    phase 0 half-kicks on the carried DESCALED acceleration and drifts,
+    then zeroes the accumulator; phases 1..nb sweep (raw mass-weighted
+    sums, identical to the reference kernel); phase nb+1 descales and
+    applies the second half-kick, leaving ``accT_s`` descaled for the
+    next sub-step's phase 0 (and for the output on the last sub-step).
+    The ordering mirrors ``ops/step.py::step``'s KDK branch exactly."""
+    du = (nb - 1) // 2
+    S = len(weights)
+
+    def kernel(posT_in, velT_in, accT_in, mass_in,
+               posT_out, velT_out, accT_out,
+               posT_s, velT_s, accT_s, massT_s, winvT_s, accb_s, posbI_s):
+        k = pl.program_id(0)
+        phase = pl.program_id(1)
+        # Static-table weight select: S <= 3, a where-chain is cheapest.
+        wdt = jnp.float32(weights[0] * dt)
+        if S > 1:
+            subi = jax.lax.rem(k, jnp.int32(S))
+            for j in range(1, S):
+                wdt = jnp.where(subi == j, jnp.float32(weights[j] * dt),
+                                wdt)
+
+        @pl.when(phase == 0)
+        def _pre():
+            @pl.when(k == 0)
+            def _init():
+                _load_resident_state(nb, block_u, posT_in, velT_in, mass_in,
+                                     posT_s, velT_s, massT_s, winvT_s)
+                for s in range(nb):
+                    sl = slice(s * block_u, (s + 1) * block_u)
+                    accT_s[s] = accT_in[:, sl]   # seeded a(x_0), descaled
+
+            # First half-kick on the carried acceleration, then drift
+            # (kdk_kick + kdk_drift, ops/step.py:109-111); ghosts carry
+            # a=0, v=0 and stay pinned.
+            for s in range(nb):
+                v = velT_s[s] + (0.5 * wdt) * accT_s[s]
+                posT_s[s] = posT_s[s] + wdt * v
+                velT_s[s] = v
+                accT_s[s] = jnp.zeros_like(accT_s[s])  # raw-sum accumulator
+
+        @pl.when(jnp.logical_and(phase > 0, phase <= nb))
+        def _sweep():
+            _sweep_superblock(phase - 1, eps2, nb, du, sub, block_i,
+                              posT_s, massT_s, accT_s, accb_s, posbI_s)
+
+        @pl.when(phase == nb + 1)
+        def _post():
+            last = k == S * n_steps - 1
+            for s in range(nb):
+                a = accT_s[s] * winvT_s[s]       # descale; ghosts -> 0
+                v = velT_s[s] + (0.5 * wdt) * a  # second half-kick
+                velT_s[s] = v
+                accT_s[s] = a                    # carried descaled
+
+                @pl.when(last)
+                def _(s=s, a=a, v=v):
+                    sl = slice(s * block_u, (s + 1) * block_u)
+                    posT_out[:, sl] = posT_s[s]
                     velT_out[:, sl] = v
                     accT_out[:, sl] = a
 
@@ -323,17 +435,62 @@ def _run_resident_padded(posT, velT, mass_row, *, eps2, dt, n_steps, nb,
     )(posT, velT, mass_row)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("eps2", "dt", "weights", "n_steps", "nb",
+                              "block_u", "block_i", "interpret"))
+def _run_resident_padded_kdk(posT, velT, accT, mass_row, *, eps2, dt,
+                             weights, n_steps, nb, block_u, block_i,
+                             interpret):
+    m = nb * block_u
+    sub = block_u // block_i
+    S = len(weights)
+    kernel = _make_resident_kernel_kdk(eps2, dt, weights, nb, sub, block_i,
+                                       block_u, n_steps)
+    full3 = pl.BlockSpec((3, m), lambda k, ph: (0, 0),
+                         memory_space=pltpu.VMEM)
+    full1 = pl.BlockSpec((1, m), lambda k, ph: (0, 0),
+                         memory_space=pltpu.VMEM)
+    pairs_per_step = m * (m - 1) / 2 + m
+    return pl.pallas_call(
+        kernel,
+        grid=(S * n_steps, nb + 2),
+        in_specs=[full3, full3, full3, full1],
+        out_specs=[full3, full3, full3],
+        out_shape=[jax.ShapeDtypeStruct((3, m), posT.dtype)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((nb, 3, block_u), posT.dtype),   # posT_s
+            pltpu.VMEM((nb, 3, block_u), posT.dtype),   # velT_s
+            pltpu.VMEM((nb, 3, block_u), posT.dtype),   # accT_s
+            pltpu.VMEM((nb, 1, block_u), posT.dtype),   # massT_s
+            pltpu.VMEM((nb, 1, block_u), posT.dtype),   # winvT_s
+            pltpu.VMEM((block_u, 3), posT.dtype),       # accb_s
+            pltpu.VMEM((block_u, 4), posT.dtype),       # posbI_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(23 * S * n_steps * pairs_per_step),
+            bytes_accessed=10 * 8 * m * 4,
+            transcendentals=int(S * n_steps * pairs_per_step)),
+        interpret=interpret,
+    )(posT, velT, accT, mass_row)
+
+
 def run_steps_resident(state: SimState, cfg, n_steps: int,
                        interpret: "bool | None" = None,
                        layout: "tuple | None" = None) -> SimState:
-    """Advance ``n_steps`` reference-scheme steps with the whole simulation
-    resident in VMEM (one device program, zero HBM state traffic between
-    steps).  Drop-in for ``run_steps`` at small N; raises ValueError when
-    the configuration is out of scope (caller falls back)."""
-    if cfg.integrator != "reference":
+    """Advance ``n_steps`` steps with the whole simulation resident in
+    VMEM (one device program, zero HBM state traffic between steps).
+    Drop-in for ``run_steps`` at small N — reference scheme and the
+    KDK-composed schemes (kdk/yoshida4; like ``run_steps`` these consume
+    ``state.acc`` as the seeded a(x_0), see ``prime_kdk``).  Raises
+    ValueError when the configuration is out of scope (caller falls
+    back)."""
+    weights = KDK_WEIGHTS.get(cfg.integrator)
+    if cfg.integrator != "reference" and weights is None:
         raise ValueError(
-            "resident mode implements the reference integrator only; "
-            f"got {cfg.integrator!r}")
+            "resident mode implements the reference integrator and the "
+            f"KDK-composed schemes; got {cfg.integrator!r}")
     if n_steps < 1:
         return state
     if interpret is None:
@@ -350,9 +507,16 @@ def run_steps_resident(state: SimState, cfg, n_steps: int,
     posT = padded.pos.T
     velT = padded.vel.T
     mass_row = padded.mass[None, :]
-    posT, velT, accT = _run_resident_padded(
-        posT, velT, mass_row, eps2=cfg.eps2, dt=cfg.dt, n_steps=n_steps,
-        nb=nb, block_u=block_u, block_i=block_i, interpret=interpret)
+    if cfg.integrator == "reference":
+        posT, velT, accT = _run_resident_padded(
+            posT, velT, mass_row, eps2=cfg.eps2, dt=cfg.dt,
+            n_steps=n_steps, nb=nb, block_u=block_u, block_i=block_i,
+            interpret=interpret)
+    else:
+        posT, velT, accT = _run_resident_padded_kdk(
+            posT, velT, padded.acc.T, mass_row, eps2=cfg.eps2, dt=cfg.dt,
+            weights=weights, n_steps=n_steps, nb=nb, block_u=block_u,
+            block_i=block_i, interpret=interpret)
     return SimState(
         pos=posT.T[:n_real], vel=velT.T[:n_real], acc=accT.T[:n_real],
         mass=state.mass)

@@ -88,17 +88,24 @@ def test_auto_impl_prefers_sym_on_tpu(monkeypatch):
     import jax
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolve_impl(SimConfig(n_bodies=65536)) == "pallas_sym2"
-    # sym2 wins down to 4096 (scripts/r5_crossover.py); in (2048, 4096)
-    # the VMEM-resident mode (ops/resident.py) serves exact sym tiers, so
-    # auto resolves to sym2 there to engage it; at N <= 2048 the resident
-    # sweep is diagonal-only (parity) and auto stays on the one-sided
-    # kernel, as it does whenever resident routing is out of scope.
+    # sym2 wins down to 3072 under the fair long-run protocol
+    # (scripts/r6_fair.py: 176.8 vs 89.3 at 3072); in (2048, 3072)
+    # reference-scheme runs resolve to sym2 to ride the VMEM-resident
+    # window (ops/resident.py); at N <= 2048 the one-sided kernel wins
+    # (123.3 vs 81.9 at 2048) and resident is parity, so auto stays put.
     assert resolve_impl(SimConfig(n_bodies=8192)) == "pallas_sym2"
     assert resolve_impl(SimConfig(n_bodies=4096)) == "pallas_sym2"
     assert resolve_impl(SimConfig(n_bodies=3072)) == "pallas_sym2"
-    assert resolve_impl(SimConfig(n_bodies=3072, resident=False)) == "pallas"
     assert resolve_impl(
-        SimConfig(n_bodies=3072, integrator="yoshida4")) == "pallas"
+        SimConfig(n_bodies=3072, resident=False)) == "pallas_sym2"
+    assert resolve_impl(
+        SimConfig(n_bodies=3072, integrator="yoshida4")) == "pallas_sym2"
+    assert resolve_impl(SimConfig(n_bodies=2560)) == "pallas_sym2"
+    assert resolve_impl(SimConfig(n_bodies=2560, resident=False)) == "pallas"
+    # KDK-composed schemes don't redirect below 3072 (their resident
+    # window opens above it; per-step sym2 there is unmeasured/losing).
+    assert resolve_impl(
+        SimConfig(n_bodies=2560, integrator="yoshida4")) == "pallas"
     assert resolve_impl(SimConfig(n_bodies=2048)) == "pallas"
 
 

@@ -125,11 +125,40 @@ def test_resident_layout_contracts():
     assert resident_layout(10_000_000) is None
 
 
-def test_resident_rejects_non_reference_integrator():
-    st = _state(256)
-    cfg = SimConfig(n_bodies=256, integrator="kdk")
-    with pytest.raises(ValueError, match="reference integrator"):
-        run_steps_resident(st, cfg, 1, interpret=True)
+@pytest.mark.parametrize("integ", ["kdk", "yoshida4"])
+def test_resident_kdk_matches_run_steps(integ):
+    """KDK-composed resident steps (pre-kick/drift, sweep, post-kick per
+    sub-step) track the standard step-layer composition from the same
+    primed a(x_0) — identical math, reassociation-level differences."""
+    from nbody_tpu.ops.step import prime_kdk
+    n = 700
+    cfg = SimConfig(n_bodies=n, integrator=integ, dt=0.05, seed=3)
+    st = prime_kdk(_state(n, seed=3), cfg, impl="xla_nxn")
+    ref = run_steps(st, cfg, 4, impl="xla_nxn")
+    out = run_steps_resident(st, cfg, 4, interpret=True,
+                             layout=(3, 256, 128))
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_resident_kdk_ghosts_stay_inert():
+    """Zero-mass ghosts carry a=0 through the descaled acc chain: pinned
+    at the origin across KDK sub-steps, real bodies unperturbed by the
+    padding geometry."""
+    from nbody_tpu.ops.step import prime_kdk
+    n = 700
+    cfg = SimConfig(n_bodies=n, integrator="yoshida4", dt=0.05, seed=5)
+    st = prime_kdk(_state(n, seed=5), cfg, impl="xla_nxn")
+    out = run_steps_resident(st, cfg, 3, interpret=True,
+                             layout=(3, 256, 128))
+    out2 = run_steps_resident(st, cfg, 3, interpret=True,
+                              layout=(9, 128, 64))
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(out2.pos),
+                               rtol=1e-5, atol=1e-2)
 
 
 def test_resident_zero_steps_is_identity():
@@ -158,9 +187,17 @@ def test_should_use_resident_contracts():
     assert not should_use_resident(SimConfig(n_bodies=2048), "pallas_sym2")
     assert should_use_resident(
         SimConfig(n_bodies=2048, resident=True), "pallas_sym2")
-    # Out of scope: integrator / dtype / impl / explicit off.
-    assert not should_use_resident(
+    # KDK-composed schemes are in scope too (the resident KDK kernel),
+    # but their window opens strictly above 3072 (the fused-sub-step
+    # standard path wins at the perfect-fit 3072 — scripts/r6_fair.py).
+    assert should_use_resident(
         SimConfig(n_bodies=8192, integrator="kdk"), "pallas_sym2")
+    assert should_use_resident(
+        SimConfig(n_bodies=4096, integrator="yoshida4"), "pallas_sym2")
+    assert not should_use_resident(
+        SimConfig(n_bodies=3072, integrator="yoshida4"), "pallas_sym2")
+    assert should_use_resident(SimConfig(n_bodies=3072), "pallas_sym2")
+    # Out of scope: dtype / impl / explicit off.
     assert not should_use_resident(
         SimConfig(n_bodies=8192, dtype="float64"), "pallas_sym2")
     assert not should_use_resident(SimConfig(n_bodies=8192), "pallas_turbo")
@@ -171,7 +208,7 @@ def test_should_use_resident_contracts():
         SimConfig(n_bodies=16384, resident=True), "pallas_sym2")
     with pytest.raises(ValueError, match="out of scope"):
         should_use_resident(
-            SimConfig(n_bodies=8192, resident=True, integrator="kdk"),
+            SimConfig(n_bodies=8192, resident=True, dtype="float64"),
             "pallas_sym2")
     with pytest.raises(ValueError, match="no VMEM-feasible layout"):
         should_use_resident(
@@ -204,7 +241,8 @@ def test_simulation_resident_off_routes_standard():
     from nbody_tpu.models.simulation import Simulation
     cfg = SimConfig(n_bodies=384, impl="pallas_sym2", resident=False)
     assert not Simulation(cfg)._resident
-    # Non-reference integrators are out of scope and must not route.
+    # KDK integrators route too (inside the auto window, primed in
+    # __init__); outside the window they stay on the standard path.
     cfg2 = SimConfig(n_bodies=384, impl="pallas_sym2", integrator="kdk")
     assert not Simulation(cfg2)._resident
 
