@@ -26,7 +26,7 @@ from .utils.timing import sync
 BASELINE_GINTER_PER_S = 300.0
 
 
-def run_benchmark(n: int = 65536, steps: int = 20,
+def run_benchmark(n: int = 65536, steps: Optional[int] = None,
                   impl: str = "auto", block_i: int = 512,
                   block_j: int = 2048, chunk: int = 1024,
                   shards: Optional[int] = None, comm: str = "ring",
@@ -39,6 +39,13 @@ def run_benchmark(n: int = 65536, steps: int = 20,
                   resident: Optional[bool] = None) -> dict:
     from .utils.compcache import enable_compilation_cache
     enable_compilation_cache()
+    if steps is None:
+        # Auto step count: a short trial at small N measures relay
+        # dispatch latency, not the kernel (a 100-step protocol read
+        # 44 "G/s" at N=4096 where the honest long-run rate is 138 —
+        # docs/PERF.md round 6).  Target ~0.25 s of device work per
+        # timed trial at a conservative 100 G/s; large N needs no help.
+        steps = int(min(2000, max(10, 2.5e10 // max(1, n * n))))
     cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
                     chunk=chunk, seed=seed, panel_nb=panel_nb,
                     block_u=block_u, prog_cap=prog_cap,

@@ -427,8 +427,13 @@ def cmd_validate(args) -> int:
 
 def cmd_bench(args) -> int:
     from .bench_lib import run_benchmark
+    # --steps defaults to the run command's 100; for bench, an unset
+    # --steps means "auto" (bench_lib scales the trial length so small-N
+    # trials measure the kernel, not relay dispatch latency).
+    explicit = getattr(args, "_explicit", set())
     result = run_benchmark(
-        n=args.n, steps=args.steps, impl=args.impl,
+        n=args.n, steps=args.steps if "steps" in explicit else None,
+        impl=args.impl,
         block_i=args.block_i, block_j=args.block_j, chunk=args.chunk,
         block_u=getattr(args, "block_u", None),
         panel_nb=getattr(args, "panel_nb", None),

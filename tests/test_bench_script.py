@@ -120,3 +120,39 @@ def test_bench_does_not_retry_deterministic_misuse(monkeypatch, capsys):
     with pytest.raises(ValueError):
         bench.main()
     assert len(calls) == 1                # no pointless multi-minute rerun
+
+
+def test_bench_auto_steps_scale_with_n(monkeypatch):
+    """steps=None auto-sizes trials so small-N runs measure the kernel,
+    not dispatch latency (~0.25 s of device work at 100 G/s, capped)."""
+    seen = {}
+    real = bench_lib.run_steps
+
+    def spy(state, cfg, k, impl=None):
+        seen.setdefault("k", k)
+        return real(state, cfg, k, impl=impl)
+
+    monkeypatch.setattr(bench_lib, "run_steps", spy)
+    r = bench_lib.run_benchmark(n=256, steps=None, impl="xla", trials=1)
+    assert r["steps"] == 2000            # tiny N hits the cap
+    assert seen["k"] == 2000
+    # Large N needs no help: the floor applies (pure arithmetic check,
+    # no device work).
+    assert int(min(2000, max(10, 2.5e10 // (1048576 * 1048576)))) == 10
+
+
+def test_cli_bench_steps_explicit_vs_auto(monkeypatch, capsys):
+    """nbody bench forwards --steps only when the user passed it; unset
+    means auto (None) so bench_lib scales the trial length."""
+    import nbody_tpu.cli as cli
+    got = {}
+
+    def fake(n, steps, **kw):
+        got["steps"] = steps
+        return {"metric": "GInteractions/s", "value": 1.0, "finite": True}
+
+    monkeypatch.setattr("nbody_tpu.bench_lib.run_benchmark", fake)
+    cli.main(["bench", "--n", "512"])
+    assert got["steps"] is None
+    cli.main(["bench", "--n", "512", "--steps", "7"])
+    assert got["steps"] == 7
