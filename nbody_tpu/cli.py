@@ -118,9 +118,9 @@ def _add_sim_args(p: argparse.ArgumentParser):
                    help="VMEM-resident multi-step mode (whole chunks run "
                         "in one device program with state held in VMEM); "
                         "auto engages for exact-tier impls at "
-                        "2048 < N <= 8192 (reference scheme; KDK/yoshida4 "
+                        "2048 < N <= 16384 (reference scheme; KDK/yoshida4 "
                         "above 3072) — measured 1.28x at 4096, 1.10x at "
-                        "8192 (ops/resident.py)")
+                        "8192/12288, 1.07x at 16384 (ops/resident.py)")
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
     p.add_argument("--comm", default="ring",

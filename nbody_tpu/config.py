@@ -124,12 +124,13 @@ class SimConfig:
     # VMEM-resident multi-step mode (ops/resident.py): at small N the whole
     # state fits in VMEM, so K steps run inside ONE device program with zero
     # HBM state traffic between steps (measured 1.28x at N=4096, 1.10x at
-    # the reference's own N=8192 design point vs the best per-step path
-    # at equal steps-per-program — scripts/r6_fair.py).  Serves all three
-    # integrators (reference / kdk / yoshida4).
+    # the reference's own N=8192 design point and at 12288, 1.07x at
+    # 16384, vs the best per-step path at equal steps-per-program —
+    # scripts/r6_fair.py).  Serves all three integrators (reference /
+    # kdk / yoshida4).
     # None = auto: engages for exact-tier impls in the measured-profitable
-    # window — 2048 < N <= 8192 for the reference scheme, 3072 < N <= 8192
-    # for KDK-composed schemes (ops.resident.should_use_resident).
+    # window — 2048 < N <= 16384 for the reference scheme, 3072 < N <=
+    # 16384 for KDK-composed schemes (ops.resident.should_use_resident).
     # True forces it (errors when out of scope); False disables.
     resident: Optional[bool] = None
 

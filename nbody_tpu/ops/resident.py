@@ -61,8 +61,11 @@ the carried acceleration, sweep phases, post-phase descale + second
 half-kick — with the sub-step weight selected from the static table by
 ``program_id mod S``.  Like ``run_steps``, the KDK path consumes
 ``state.acc`` as the seeded a(x_0) (``prime_kdk``).  Applicability is
-VMEM-bound: ``resident_layout`` returns None when no geometry fits
-(N beyond ~16k), and callers fall back.
+VMEM-bound: ``resident_layout`` picks geometry by a fitted cost model
+(padded pair work x block_i amortization x per-superblock phase
+overhead) and returns None when nothing fits; past ~16k the feasible
+block_i shrinks and the per-step path wins (the auto window ends
+there), and callers fall back.
 """
 
 from __future__ import annotations
@@ -80,29 +83,36 @@ from .forces_pallas_sym import _pair_products_sym
 
 # Slightly conservative VMEM ceiling for the ESTIMATE below (the real cap
 # is ~16 MB/core; Mosaic is the final arbiter and raises on overflow).
-_RESIDENT_VMEM_BUDGET = 13 * 1024 * 1024
+# Calibrated on chip against the estimator: (7,1792,448) at N=12288
+# (estimate 14.6 MB) compiles and is the measured-best layout there —
+# a 13 MB budget wrongly rejected it — while (5,1664,832) at N=8192
+# (estimate 18.7 MB) OOMs.
+_RESIDENT_VMEM_BUDGET = 15 * 1024 * 1024
 
 # Implementations the resident path can stand in for (it computes vpu2
 # math; every exact-tier request routes here identically).
 RESIDENT_IMPLS = ("pallas_sym2", "pallas_sym")
 
 # Auto-routing crossover (measured at EQUAL steps-per-program and sync
-# pattern, scripts/r6_fair.py on v5e): the resident kernel beats per-step
-# sym2 178.3 vs 139.5 G/s at N=4096 (1.28x), 215.4 vs 195.8 at 8192
-# (1.10x); at the perfect-panel-fit 3072 it's parity (177.8 vs 176.8);
-# at 12288 parity-to-slightly-behind (214.8 vs 219.1) and at 16384 the
-# VMEM budget forces narrow superblocks (nb=43, U=384) and the standard
-# path clearly wins (182.6 vs 238.3).  Below: when the chosen layout degenerates to nb=1
-# (always true at N<=2048) the sweep is diagonal-only — no N3L halving,
-# same flops as the one-sided kernel — and measures parity (119.8 vs
-# 123.3 at 2048, 84.2 vs 81.2 at 1024), so auto stays off there.
-RESIDENT_AUTO_MAX_N = 8192
+# pattern, scripts/r6_fair.py on v5e, cost-model layouts): the resident
+# kernel beats per-step sym2 178.3 vs 139.5 G/s at N=4096 (1.28x),
+# 215.4 vs 195.8 at 8192 (1.10x), 242.5 vs 220.9 at 12288 (1.10x),
+# 254.9 vs 237.9 at 16384 (1.07x); at the perfect-panel-fit 3072 it's
+# parity (177.8 vs 176.8).  Above: at 20480/24576 the VMEM budget
+# forces narrow block_i (240/192) and the standard path wins (252.4 vs
+# 247.4 at 20480, 256.6 vs 244.2 at 24576).  Below: when the chosen
+# layout degenerates to nb=1 (always true at N<=2048) the sweep is
+# diagonal-only — no N3L halving, same flops as the one-sided kernel —
+# and measures parity (119.8 vs 123.3 at 2048, 84.2 vs 81.2 at 1024),
+# so auto stays off there.
+RESIDENT_AUTO_MAX_N = 16384
 
 # KDK-composed schemes open their window strictly ABOVE 3072: their
 # standard path fuses S sub-steps per program (rent amortized S-fold),
 # and at the perfect-panel-fit N=3072 it measures FASTER than resident
-# (191.2 vs 175.4 G/s yoshida4 — scripts/r6_fair.py recheck); at 4096+
-# resident wins (1.22-1.23x at 4096, 1.07-1.10x at 8192, both schemes).
+# (191.2 vs 175.4 G/s yoshida4 — scripts/r6_fair.py recheck); above,
+# resident wins like the reference scheme (yoshida4: 1.22-1.23x at
+# 4096, 1.07-1.10x at 8192, 1.04x at 12288, 1.07x at 16384).
 RESIDENT_AUTO_KDK_MIN_N = 3072
 
 
@@ -149,33 +159,55 @@ def should_use_resident(cfg, impl: str) -> bool:
 
 
 def _layout_vmem_bytes(nb, block_u, block_i, m):
-    """Conservative physical-VMEM estimate for one resident program.
+    """Physical-VMEM estimate for one resident program.
 
     Scratch: posT/velT/accT (nb,3,U) pad sublanes 3->8; massT/winvT
     (nb,1,U) pad 1->8; accb (U,3) and posbI (U,4) pad lanes ->128.
     Streams: 4 inputs + 3 outputs at (8, m) physical (the KDK kernel's
     acc input counted for both — layouts are insensitive to it at every
-    measured N).  Tile live set:
-    with the si sub-loops SERIALIZED (lax.fori_loop) Mosaic's scoped
-    stack holds ~6 (BI, U) f32 temporaries (dx/dy/dz + weight + product
-    + reduction slack; a statically unrolled sweep multiplied this by
-    sub — measured 48.6 MB at 8k/sub=4, compile-time OOM).
-    """
+    measured N).  Tile live set: with the si sub-loops SERIALIZED
+    (lax.fori_loop) Mosaic's scoped stack holds ~2.5 (BI, U) f32
+    temporaries — CALIBRATED on chip: (5,1664,416) at N=8192 compiles
+    (a coefficient of 6 wrongly rejected it, costing the measured-best
+    layout) while (5,1664,832) OOMs, bracketing the coefficient in
+    (2.0, 2.9) against the 13 MB budget.  A statically unrolled sweep
+    multiplies the live set by sub instead — measured 48.6 MB at
+    8k/sub=4, compile-time OOM."""
     t_state = 3 * nb * 8 * block_u * 4
     mass_rows = 2 * nb * 8 * block_u * 4
     blocked = 2 * block_u * 128 * 4            # accb + posbI
     streams = 7 * 8 * m * 4
-    live = 6 * block_i * block_u * 4
+    live = 2.5 * block_i * block_u * 4
     return t_state + mass_rows + blocked + streams + live
+
+
+def _layout_cost(nb, block_i, m):
+    """Fitted per-step cost model (lower is better), v5e measurements
+    (scripts/r6_resident_lay.py):
+
+    - pair work scales with m^2 (ghost pairs cost the same as real);
+    - sub-tile overheads amortize with block_i as (1 + 9/BI) — fitted on
+      the same-session BI ladder at (5,1664): 64/104/208/416 -> 178.5/
+      186.0/195.7/198.9 G/s;
+    - each superblock adds ~1.3%/step of phase overhead (transpose,
+      scatter RMW, loop bookkeeping) — fitted on same-m pairs
+      (11,384) vs (3,1408) at 4096 (142.8 vs 167.3), (13,640) vs
+      (5,1664) at 8192 (172.5 vs 199), (43,384) vs (13,1280) at 16384
+      (182.6 vs 242.8).  This term is what the old min-padding objective
+      missed: at 16384 it picked nb=43 (182.6 G/s) over the nb=13 layout
+      that measures 242.8."""
+    return m * m * (1.0 + 9.0 / block_i) * (1.0 + 0.013 * nb)
 
 
 def resident_layout(n: int):
     """Choose ``(nb, block_u, block_i)`` for a resident run of n bodies, or
     None when no geometry fits the VMEM budget.
 
-    Minimizes padded body count (ghost pair work is O(m^2 - n^2)), with a
-    mild preference for wider tiles at equal padding (wide j-tiles amortize
-    per-tile overheads — docs/PERF.md tile sweeps)."""
+    Minimizes the fitted cost model ``_layout_cost`` (padded pair work x
+    sub-tile amortization x per-superblock phase overhead) over all
+    VMEM-feasible geometries, preferring wider tiles on near-ties.
+    Chosen layouts reproduce the measured-best geometry at every swept N
+    (3072/4096/8192/16384 — docs/PERF.md round 6)."""
     if n < 1:
         return None
     best = None
@@ -190,10 +222,12 @@ def resident_layout(n: int):
             if _layout_vmem_bytes(nb, block_u, block_i, m) > \
                     _RESIDENT_VMEM_BUDGET:
                 continue
-            key = (m, -block_u, -block_i)
+            # Largest feasible block_i for this block_u; the BI term is
+            # monotone so no smaller BI can score better at the same U.
+            key = (_layout_cost(nb, block_i, m), -block_u)
             if best is None or key < best[0]:
                 best = (key, (nb, block_u, block_i))
-            break  # largest feasible block_i for this block_u
+            break
     return None if best is None else best[1]
 
 

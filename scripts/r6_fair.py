@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = "/root/repo/bench_results_r3.jsonl"
 STEPS = {1024: 6000, 2048: 4000, 3072: 3000, 4096: 2000, 8192: 1000,
-         12288: 500, 16384: 400}
+         12288: 500, 16384: 400, 20480: 300, 24576: 200}
 
 
 def log(msg):

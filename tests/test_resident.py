@@ -178,9 +178,12 @@ def test_should_use_resident_contracts():
     assert should_use_resident(SimConfig(n_bodies=8192), "pallas_sym2")
     assert should_use_resident(SimConfig(n_bodies=4096), "pallas_sym")
     assert should_use_resident(SimConfig(n_bodies=3072), "pallas_sym2")
-    # Above the measured crossover (8192): standard path wins.
-    assert not should_use_resident(SimConfig(n_bodies=12288), "pallas_sym2")
-    assert not should_use_resident(SimConfig(n_bodies=16384), "pallas_sym2")
+    # In-window up to 16384 (cost-model layouts, scripts/r6_fair.py);
+    # above the measured crossover the standard path wins.
+    assert should_use_resident(SimConfig(n_bodies=12288), "pallas_sym2")
+    assert should_use_resident(SimConfig(n_bodies=16384), "pallas_sym2")
+    assert not should_use_resident(SimConfig(n_bodies=20480), "pallas_sym2")
+    assert not should_use_resident(SimConfig(n_bodies=24576), "pallas_sym2")
     # At N <= 2048 the layout degenerates to nb=1 (diagonal-only sweep,
     # measured parity with the one-sided kernel): auto stays off, but
     # forcing still works (the nb=1 kernel is correct, just not faster).
