@@ -9,7 +9,9 @@ BASELINE.json.  The headline is the MEDIAN of >=3 independent trials of
 >=10 steps each, with min/max spread in the JSON (the relayed chip
 carries load jitter; the judged number should be statistically boring).
 A second measurement of the loose-contract turbo tier rides along under
-the "turbo" key (same trial protocol).
+the "turbo" key (same trial protocol), and a third at the REFERENCE'S
+OWN design point (N=8192, constants.h:13 — served by the VMEM-resident
+multi-step mode, ops/resident.py) under "ref_design_point".
 """
 
 import json
@@ -23,6 +25,7 @@ def main() -> int:
     trials = int(os.environ.get("NBODY_BENCH_TRIALS", "3"))
     impl = os.environ.get("NBODY_BENCH_IMPL", "auto")
     with_turbo = os.environ.get("NBODY_BENCH_TURBO", "1") != "0"
+    with_ref = os.environ.get("NBODY_BENCH_REFPOINT", "1") != "0"
 
     import jax
     if jax.default_backend() != "tpu":
@@ -30,6 +33,7 @@ def main() -> int:
         n = min(n, 4096)
         impl = "xla"
         with_turbo = False
+        with_ref = False
 
     from nbody_tpu.bench_lib import run_benchmark
 
@@ -65,6 +69,17 @@ def main() -> int:
             result["turbo"] = {k: t[k] for k in (
                 "value", "vs_baseline", "ms_per_step", "ginter_min",
                 "ginter_max", "spread_pct", "compile_plus_warmup_s")}
+    if with_ref:
+        # The reference's own config (N=8192): exact tier through the
+        # resident routing, auto-sized trials (~0.25 s device work).
+        try:
+            r = run_benchmark(n=8192, steps=None, trials=trials)
+        except Exception as e:
+            result["ref_design_point_error"] = f"{type(e).__name__}: {e}"
+        else:
+            result["ref_design_point"] = {k: r[k] for k in (
+                "value", "n_bodies", "steps", "ms_per_step", "impl",
+                "resident", "ginter_min", "ginter_max", "spread_pct")}
     print(json.dumps(result))
     return 0
 

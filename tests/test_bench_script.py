@@ -51,6 +51,7 @@ def test_bench_reports_headline_when_turbo_dies(monkeypatch, capsys):
     # Force the TPU branch so the turbo rider is attempted on CPU CI.
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("NBODY_BENCH_TURBO", "1")
+    monkeypatch.setenv("NBODY_BENCH_REFPOINT", "0")
     assert bench.main() == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] == 307.0
@@ -66,6 +67,7 @@ def test_bench_turbo_rider_rides_along(monkeypatch, capsys):
     monkeypatch.setattr(bench_lib, "run_benchmark", tiered)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("NBODY_BENCH_TURBO", "1")
+    monkeypatch.setenv("NBODY_BENCH_REFPOINT", "0")
     assert bench.main() == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] == 307.0
@@ -156,3 +158,35 @@ def test_cli_bench_steps_explicit_vs_auto(monkeypatch, capsys):
     assert got["steps"] is None
     cli.main(["bench", "--n", "512", "--steps", "7"])
     assert got["steps"] == 7
+
+
+def test_bench_ref_design_point_rider(monkeypatch, capsys):
+    """The N=8192 reference-design-point rider rides along under its own
+    key, and its failure degrades gracefully like the turbo rider's."""
+    def tiered(**kw):
+        r = _fake_result(216.0 if kw["n"] == 8192 else 307.0)
+        r.update({"n_bodies": kw["n"], "steps": 400, "impl": "pallas_sym2",
+                  "resident": kw["n"] == 8192})
+        return r
+
+    monkeypatch.setattr(bench_lib, "run_benchmark", tiered)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("NBODY_BENCH_TURBO", "0")
+    monkeypatch.setenv("NBODY_BENCH_REFPOINT", "1")
+    assert bench.main() == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 307.0
+    assert rec["ref_design_point"]["value"] == 216.0
+    assert rec["ref_design_point"]["resident"] is True
+
+    def dies(**kw):
+        if kw["n"] == 8192:
+            raise RuntimeError("FailedPrecondition: session dropped")
+        return tiered(**kw)
+
+    monkeypatch.setattr(bench_lib, "run_benchmark", dies)
+    assert bench.main() == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 307.0
+    assert "ref_design_point" not in rec
+    assert "FailedPrecondition" in rec["ref_design_point_error"]
