@@ -71,7 +71,7 @@ def main() -> int:
                 "ginter_max", "spread_pct", "compile_plus_warmup_s")}
     if with_ref:
         # The reference's own config (N=8192): exact tier through the
-        # resident routing, auto-sized trials (~0.25 s device work).
+        # resident routing, auto-sized trials (~1.5 s device work).
         try:
             r = run_benchmark(n=8192, steps=None, trials=trials)
         except Exception as e:

@@ -40,12 +40,19 @@ def run_benchmark(n: int = 65536, steps: Optional[int] = None,
     from .utils.compcache import enable_compilation_cache
     enable_compilation_cache()
     if steps is None:
-        # Auto step count: a short trial at small N measures relay
+        # Auto step count: a short trial at small/mid N measures relay
         # dispatch latency, not the kernel (a 100-step protocol read
-        # 44 "G/s" at N=4096 where the honest long-run rate is 138 —
-        # docs/PERF.md round 6).  Target ~0.25 s of device work per
-        # timed trial at a conservative 100 G/s; large N needs no help.
-        steps = int(min(2000, max(10, 2.5e10 // max(1, n * n))))
+        # 44 "G/s" at N=4096 where the honest long-run rate is 138, and
+        # 10-step trials at 65536 read 222-273 where 100-step trials
+        # hold 290.9 at 0.14% spread — docs/PERF.md round 6).  Target
+        # ~1.5 s of device work per timed trial at an optimistic
+        # 300 G/s (underestimating the rate only makes trials longer);
+        # at 1M+ one step already exceeds the target.  On CPU (CI
+        # smoke) target ~0.3 s at 2 G/s, capped low.
+        if jax.default_backend() == "tpu":
+            steps = int(min(8000, max(10, 1.5 * 300e9 // max(1, n * n))))
+        else:
+            steps = int(min(100, max(5, 0.3 * 2e9 // max(1, n * n))))
     cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
                     chunk=chunk, seed=seed, panel_nb=panel_nb,
                     block_u=block_u, prog_cap=prog_cap,

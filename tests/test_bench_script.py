@@ -125,8 +125,10 @@ def test_bench_does_not_retry_deterministic_misuse(monkeypatch, capsys):
 
 
 def test_bench_auto_steps_scale_with_n(monkeypatch):
-    """steps=None auto-sizes trials so small-N runs measure the kernel,
-    not dispatch latency (~0.25 s of device work at 100 G/s, capped)."""
+    """steps=None auto-sizes trials by target DURATION so small/mid-N
+    runs measure the kernel, not dispatch latency (docs/PERF.md round 6:
+    10-step trials at 65536 read 222-273 where 100-step trials hold
+    290.9 at 0.14% spread)."""
     seen = {}
     real = bench_lib.run_steps
 
@@ -136,11 +138,14 @@ def test_bench_auto_steps_scale_with_n(monkeypatch):
 
     monkeypatch.setattr(bench_lib, "run_steps", spy)
     r = bench_lib.run_benchmark(n=256, steps=None, impl="xla", trials=1)
-    assert r["steps"] == 2000            # tiny N hits the cap
-    assert seen["k"] == 2000
-    # Large N needs no help: the floor applies (pure arithmetic check,
-    # no device work).
-    assert int(min(2000, max(10, 2.5e10 // (1048576 * 1048576)))) == 10
+    assert r["steps"] == 100             # CPU branch, tiny N hits its cap
+    assert seen["k"] == 100
+    # TPU branch arithmetic (no device work): ~1.5 s at 300 G/s.
+    tpu_auto = lambda n: int(min(8000, max(10, 1.5 * 300e9 // (n * n))))
+    assert tpu_auto(1048576) == 10       # 1M+: one step exceeds target
+    assert tpu_auto(65536) == 104        # the 65k fix
+    assert tpu_auto(8192) == 6705
+    assert tpu_auto(4096) == 8000        # cap
 
 
 def test_cli_bench_steps_explicit_vs_auto(monkeypatch, capsys):
