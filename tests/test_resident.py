@@ -268,3 +268,22 @@ def test_cli_resident_flag_parses():
     assert args.resident is True
     args = p.parse_args(["bench", "--n", "512", "--resident", "off"])
     assert args.resident is False
+
+
+def test_resident_yoshida4_time_reversibility():
+    """The resident KDK path preserves the composition's palindromic
+    structure: forward K steps, negate velocities, back K steps returns
+    to the start up to f32 roundoff (the carried acceleration stays
+    valid under v-negation — a(x) is velocity-independent).  The f64
+    step-layer twin is tests/test_kepler.py::test_time_reversibility."""
+    from nbody_tpu.ops.step import prime_kdk
+    n = 384
+    st = _state(n, seed=60)
+    cfg = SimConfig(n_bodies=n, integrator="yoshida4", dt=0.05, eps2=1e6)
+    st = prime_kdk(st, cfg, impl="xla_nxn")
+    fwd = run_steps_resident(st, cfg, 8, interpret=True)
+    out = run_steps_resident(fwd._replace(vel=-fwd.vel), cfg, 8,
+                             interpret=True)
+    err = np.max(np.abs(np.asarray(out.pos) - np.asarray(st.pos)) /
+                 (np.abs(np.asarray(st.pos)) + 1.0))
+    assert err < 1e-4, err
