@@ -80,7 +80,13 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--integrator", default="reference", action=_TrackedStore,
                    choices=["reference", "kdk", "yoshida4"])
     p.add_argument("--seed", type=int, default=0, action=_TrackedStore)
-    p.add_argument("--init", default="uniform", choices=["uniform", "plummer"])
+    p.add_argument("--init", default="uniform",
+                   choices=["uniform", "plummer", "plummer-virial", "disk",
+                            "collision"],
+                   help="initial conditions: uniform box (the reference's "
+                        "utils.cpp:30-37), cold/virialized Plummer sphere, "
+                        "rotating disk, or two-cluster collision "
+                        "(models/init.py)")
     p.add_argument("--max-pos", type=float, default=100_000.0,
                    action=_TrackedStore)
     p.add_argument("--min-mass", type=float, default=100_000.0,
@@ -150,7 +156,7 @@ def _make_cfg(args):
 
 
 def _make_sim(args, cfg, logger):
-    from .models.init import plummer_state
+    from .models.init import INIT_MAKERS
     from .models.simulation import Simulation
     mesh = None
     if args.shards:
@@ -167,12 +173,13 @@ def _make_sim(args, cfg, logger):
     # init DIRECTLY in the flat (3N,) layout — materializing an (N, 3)
     # device state first would hit the exact tiled-copy wall flat mode
     # exists to avoid (docs/PERF.md memory walls).
-    state = plummer_state(cfg) if args.init == "plummer" else None
+    maker = INIT_MAKERS.get(args.init)
+    state = maker(cfg) if maker is not None else None
     if state is not None and mesh is None:
         from .ops.forces import resolve_impl
         from .ops.step import should_use_flat
         if should_use_flat(cfg, resolve_impl(cfg)):
-            print("warning: --init plummer materializes (N, 3) state "
+            print(f"warning: --init {args.init} materializes (N, 3) state "
                   "before the flat conversion; above ~16.7M bodies this "
                   "hits the tiled-copy wall (docs/PERF.md)",
                   file=sys.stderr)
@@ -318,7 +325,7 @@ def cmd_validate(args) -> int:
     """
     from .config import SimConfig
     from .models.energy import energy_f64
-    from .models.init import init_state, plummer_state
+    from .models.init import INIT_MAKERS, init_state
     from .models.state import SimState
     from .ops.step import prime_kdk, run_steps
     from .oracle.numpy_oracle import oracle_run, relative_mismatch
@@ -347,7 +354,8 @@ def cmd_validate(args) -> int:
         print("Analytic verification " + ("PASSED" if ok else "FAILED"))
         return 0 if ok else 1
     cfg = _make_cfg(args)
-    state = plummer_state(cfg) if args.init == "plummer" else init_state(cfg)
+    maker = INIT_MAKERS.get(args.init, init_state)
+    state = maker(cfg)
     if cfg.integrator != "reference":
         state = prime_kdk(state, cfg)
     pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
