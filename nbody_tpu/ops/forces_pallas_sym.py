@@ -883,9 +883,14 @@ def resolve_block_u(block_u: "int | None", n: int,
     if block_u is not None:
         return block_u
     if variant in ("turbo", "turbof", "turbo2"):
-        # 2048 wins from 65k up (350.8 vs 308 G/s at 65k, 414.5 vs 389 at
-        # 1M); below that, superblock rounding would pad >10% ghosts.
-        return 2048 if n >= 65536 else 1024
+        # 2048 wins from 131k up (385.1 vs 377.2 at 131k, 398.7 vs 389.4
+        # at 262k, 414.5 vs 389 at 1M); at 65k the duration-targeted
+        # re-measure flips it to 1536 (367.0 vs 361.7 — the earlier
+        # "350.8 vs 308" was the short-trial protocol); below 65k,
+        # superblock rounding would pad >10% ghosts so 1024 holds.
+        if n >= 131072:
+            return 2048
+        return 1536 if n >= 65536 else 1024
     if variant in ("vpu2",):
         # 1536 wins from 65k up; below that, superblock rounding would
         # pad ~8% ghosts (~16% pair work) so 1024 holds.

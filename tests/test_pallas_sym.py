@@ -345,11 +345,13 @@ def test_resolve_block_u_variant_aware():
     # Explicit value always wins.
     assert resolve_block_u(512, 1 << 20, "vpu") == 512
     # Small N: 1024 for the classic exact tier; vpu2 flips to 1536 at 65k
-    # (273.0 vs 266.9 G/s, scripts/r5_smalln.py); turbo to 2048 at 65k.
+    # (273.0 vs 266.9 G/s, scripts/r5_smalln.py); turbo to 1536 at 65k
+    # (367.0 vs 361.7 under duration-targeted trials) and 2048 from 131k.
     assert resolve_block_u(None, 65536, "vpu") == 1024
     assert resolve_block_u(None, 65536, "vpu2") == 1536
     assert resolve_block_u(None, 32768, "vpu2") == 1024
-    assert resolve_block_u(None, 65536, "turbo") == 2048
+    assert resolve_block_u(None, 65536, "turbo") == 1536
+    assert resolve_block_u(None, 131072, "turbo") == 2048
     assert resolve_block_u(None, 32768, "turbo") == 1024
     # Large N: exact peaks at 1536, turbo/turbo2/mxu at 2048
     # (docs/PERF.md; mxu 275.6 vs 267.0 at 1M, scripts/r5_mxu.py).
