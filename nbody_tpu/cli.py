@@ -609,7 +609,15 @@ def build_parser() -> argparse.ArgumentParser:
                       help="serve a live view over HTTP on this port "
                            "(the reference's 'watch it evolve' window, "
                            "main.cpp:118-133; 0 picks a free port)")
-    runp.add_argument("--log-every", type=int, default=100)
+    runp.add_argument("--log-every", type=int, default=None,
+                      help="progress-log cadence in steps (0 = none). "
+                           "Default: auto — chunks sync the device for "
+                           "the timer, and through the relay each sync "
+                           "costs tens of ms, so the cadence is sized to "
+                           "keep one chunk >= ~0.5 s of device work "
+                           "(~<=50 log lines per run); a fixed small "
+                           "cadence at small N costs real throughput "
+                           "(measured 5x at N=8192)")
     runp.add_argument("--log-jsonl", default=None)
     runp.add_argument("--log-csv", default=None)
     runp.add_argument("--checkpoint", default=None)

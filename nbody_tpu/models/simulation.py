@@ -45,6 +45,50 @@ class SimResult:
         return abs(self.energy_final - self.energy_initial) / scale
 
 
+def auto_log_every(cfg: SimConfig, n_steps: int) -> int:
+    """Default progress-log cadence (``log_every=None``).
+
+    Every chunk boundary syncs the device (the timer and NaN watchdog
+    need real state), and through the relay each sync costs tens of ms —
+    a fixed small cadence at small N is a measured 5x throughput trap
+    (N=8192, log_every=100: 47.9 G/s vs 259.4 at 10k-step chunks,
+    bench_results_r3.jsonl r6_endurance).  Size the cadence so one chunk
+    is >= ~0.5 s of estimated device work at an optimistic 300 G/s
+    (underestimating only makes chunks longer), and cap the line count
+    at ~50 per run.
+
+    Prefer a cadence that DIVIDES n_steps: compiled programs embed the
+    chunk length (fused fori_loop and resident grid alike), so a ragged
+    final chunk is a fresh multi-second compile that pollutes the run's
+    summary rate (measured: a 2120-step tail after 2235-step chunks cost
+    3.3 s).  The nearest divisor is used when it keeps chunks within 4x
+    of the target; pathological step counts (primes) fall back to the
+    target and eat the one extra compile."""
+    per_step_s = cfg.interactions_per_step / 300e9
+    target = max(1, int(0.5 / per_step_s), n_steps // 50)
+    if n_steps <= target:
+        return target
+    above = None      # smallest divisor >= target
+    below = None      # largest divisor in [target/2, target)
+    d = 1
+    while d * d <= n_steps:
+        if n_steps % d == 0:
+            for c in (d, n_steps // d):
+                if c >= target:
+                    if above is None or c < above:
+                        above = c
+                elif 2 * c >= target and (below is None or c > below):
+                    below = c
+        d += 1
+    if above is not None and above <= 4 * target and above < n_steps:
+        return above
+    if below is not None:
+        # Slightly shorter chunks beat a ragged tail: one program either
+        # way the chunks stay near the duration target.
+        return below
+    return target
+
+
 class _ProgressHeartbeat:
     """Completion-synced progress line over bounded-program dispatch.
 
@@ -240,7 +284,7 @@ class Simulation:
             self.state = run_steps(self.state, self.cfg, n, impl=self.impl)
 
     def run(self, n_steps: Optional[int] = None,
-            log_every: int = 100,
+            log_every: Optional[int] = None,
             checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 0,
             frame_streamer=None,
@@ -269,7 +313,7 @@ class Simulation:
                 self.progress = None
 
     def _run_impl(self, n_steps: Optional[int],
-                  log_every: int,
+                  log_every: Optional[int],
                   checkpoint_path: Optional[str],
                   checkpoint_every: int,
                   frame_streamer,
@@ -278,6 +322,8 @@ class Simulation:
                   sort_every: int) -> SimResult:
         n_steps = n_steps if n_steps is not None else self.cfg.steps
         cfg = self.cfg
+        if log_every is None:
+            log_every = auto_log_every(cfg, n_steps)
         timer = StepTimer(n_bodies=cfg.n_bodies)
         if sort_every > 0 and self._flat:
             # The Morton pass consumes (N, 3) arrays — exactly what flat

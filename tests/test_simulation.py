@@ -223,3 +223,22 @@ def test_heartbeat_uninstalled_on_run_error():
     with pytest.raises(RuntimeError, match="boom"):
         sim.run(n_steps=1)
     assert sim.progress is None           # uninstalled on the error path
+
+
+def test_auto_log_every_targets_chunk_duration():
+    """log_every=None sizes chunks to ~0.5 s of device work (relay syncs
+    cost tens of ms — a fixed 100-step cadence at N=8192 measured 5x
+    slow) while capping the line count at ~50/run."""
+    from nbody_tpu.models.simulation import auto_log_every
+    # Small N: duration-driven (0.5 s at 300 G/s), snapped to a divisor
+    # of n_steps so every chunk shares ONE compiled program (a ragged
+    # tail is a fresh multi-second compile).
+    assert auto_log_every(SimConfig(n_bodies=8192), 100_000) == 2500
+    assert auto_log_every(SimConfig(n_bodies=8192), 20_000) == 2500
+    # No divisor >= target: the largest half-target divisor serves.
+    assert auto_log_every(SimConfig(n_bodies=4096), 10_000) == 5000
+    # Prime step counts fall back to the raw target (one ragged tail).
+    assert auto_log_every(SimConfig(n_bodies=8192), 99_991) == 2235
+    # Large N: one step exceeds the target; line cap takes over.
+    assert auto_log_every(SimConfig(n_bodies=1 << 20), 10_000) == 200
+    assert auto_log_every(SimConfig(n_bodies=1 << 20), 20) == 1
