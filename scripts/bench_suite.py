@@ -97,7 +97,9 @@ def _throughput(n, impl, steps, shards=None):
 
 
 def config_throughput_64k():
-    rec = _throughput(65536, "auto", 20)
+    # steps=None: duration-targeted trials (20-step trials under-read
+    # this N by ~7% — docs/PERF.md round 6).
+    rec = _throughput(65536, "auto", None)
     rec["config"] = "throughput-64k"
     return rec
 
