@@ -37,23 +37,24 @@ def main() -> int:
 
     from nbody_tpu.bench_lib import run_benchmark
 
-    def bench_once(tier_impl):
+    def bench_once(tier_impl, tier_n=None, tier_steps="headline"):
         # The relay occasionally drops a session mid-run
         # (FailedPrecondition); one retry keeps the judged artifact
         # from vanishing on a transient (CLAUDE.md environment notes).
         # Deterministic misuse (bad impl/config -> ValueError/TypeError)
         # is NOT retried — rerunning a doomed multi-minute benchmark
         # just delays the failure.
+        kw = dict(n=n if tier_n is None else tier_n,
+                  steps=steps if tier_steps == "headline" else tier_steps,
+                  impl=tier_impl, trials=trials)
         try:
-            return run_benchmark(n=n, steps=steps, impl=tier_impl,
-                                 trials=trials)
+            return run_benchmark(**kw)
         except (ValueError, TypeError):
             raise
         except Exception as e:
             print(f"bench: {tier_impl} attempt 1 failed "
                   f"({type(e).__name__}: {e}); retrying", file=sys.stderr)
-            return run_benchmark(n=n, steps=steps, impl=tier_impl,
-                                 trials=trials)
+            return run_benchmark(**kw)
 
     result = bench_once(impl)
     if with_turbo:
@@ -72,8 +73,9 @@ def main() -> int:
     if with_ref:
         # The reference's own config (N=8192): exact tier through the
         # resident routing, auto-sized trials (~1.5 s device work).
+        # Same one-retry-on-transient protection as the other tiers.
         try:
-            r = run_benchmark(n=8192, steps=None, trials=trials)
+            r = bench_once("auto", tier_n=8192, tier_steps=None)
         except Exception as e:
             result["ref_design_point_error"] = f"{type(e).__name__}: {e}"
         else:

@@ -29,18 +29,19 @@ def main():
     import jax
     import nbody_tpu as nt
     from nbody_tpu.models.energy import energy_f64
-    from nbody_tpu.models.init import plummer_state
+    from nbody_tpu.models.init import plummer_virial_state
     from nbody_tpu.models.simulation import Simulation
 
     print(f"backend: {jax.default_backend()}, N={n}, steps={steps}")
 
-    # A gravitationally bound cluster: the Plummer sphere (virialized,
-    # unlike the reference's cold uniform cube which collapses).  dt is
+    # A gravitationally bound cluster in virial equilibrium (velocities
+    # sampled from the exact Plummer DF — a COLD sphere collapses
+    # violently and would confound the integrator comparison).  dt is
     # chosen well under the cluster's central dynamical time.
     for integrator in ("reference", "yoshida4"):
         cfg = nt.SimConfig(n_bodies=n, integrator=integrator, dt=0.02,
                            eps2=1e6, seed=7)
-        sim = Simulation(cfg, state=plummer_state(cfg))
+        sim = Simulation(cfg, state=plummer_virial_state(cfg))
         e0 = energy_f64(sim.state, cfg.eps2)
         t0 = time.time()
         sim.run(n_steps=steps, log_every=0)

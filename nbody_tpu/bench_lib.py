@@ -39,30 +39,51 @@ def run_benchmark(n: int = 65536, steps: Optional[int] = None,
                   resident: Optional[bool] = None) -> dict:
     from .utils.compcache import enable_compilation_cache
     enable_compilation_cache()
+    cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
+                    chunk=chunk, seed=seed, panel_nb=panel_nb,
+                    block_u=block_u, prog_cap=prog_cap,
+                    flat_state=flat_state, resident=resident)
+    impl_resolved = resolve_impl(cfg)
     if steps is None:
         # Auto step count: a short trial at small/mid N measures relay
         # dispatch latency, not the kernel (a 100-step protocol read
         # 44 "G/s" at N=4096 where the honest long-run rate is 138, and
         # 10-step trials at 65536 read 222-273 where 100-step trials
         # hold 290.9 at 0.14% spread — docs/PERF.md round 6).  Target
-        # ~1.5 s of device work per timed trial at an optimistic
-        # 300 G/s (underestimating the rate only makes trials longer);
-        # at 1M+ one step already exceeds the target.  On CPU (CI
-        # smoke) target ~0.3 s at 2 G/s, capped low.
+        # ~1.5 s of device work per timed trial at the tier's ballpark
+        # rate — OVERestimating the rate only shortens trials, while a
+        # 300 G/s guess for a slow tier would size a fused program past
+        # the ~60 s relay kill (review r6: f64 xla at 6705 steps).
+        # On CPU (CI smoke) target ~0.3 s at 2 G/s, capped low.
         if jax.default_backend() == "tpu":
-            steps = int(min(8000, max(10, 1.5 * 300e9 // max(1, n * n))))
+            if cfg.dtype != "float32":
+                rate = 2e9          # f64/bf16 XLA paths: conservative
+            elif impl_resolved.startswith("pallas"):
+                rate = 300e9
+            else:
+                rate = 50e9         # f32 XLA paths
+            steps = int(min(8000, max(10, 1.5 * rate // max(1, n * n))))
         else:
             steps = int(min(100, max(5, 0.3 * 2e9 // max(1, n * n))))
-    cfg = SimConfig(n_bodies=n, impl=impl, block_i=block_i, block_j=block_j,
-                    chunk=chunk, seed=seed, panel_nb=panel_nb,
-                    block_u=block_u, prog_cap=prog_cap,
-                    flat_state=flat_state, resident=resident)
-    impl_resolved = resolve_impl(cfg)
 
     mesh = None
     used_flat = False
     used_resident = False
     steps_are_static = True   # does the compiled program embed n_steps?
+    if cfg.resident is True:
+        # resident=True promises "forces or raises" (config.py); the
+        # sharded/flat/multiprog branches below would silently preempt
+        # it (review r6).  Out-of-scope configs (wrong integrator/dtype/
+        # impl, N past the VMEM wall — which covers every auto-multiprog
+        # N) raise here with the real reason; feasible ones raise on the
+        # explicitly conflicting scale options.
+        from .ops.resident import should_use_resident
+        should_use_resident(cfg, impl_resolved)
+        if (shards and shards > 1) or cfg.flat_state or cfg.prog_cap:
+            raise ValueError(
+                "resident=True but shards/flat_state/prog_cap routing "
+                "preempts the VMEM-resident mode (single-device, whole "
+                "state in VMEM); drop resident=True or the scale options")
     if shards and shards > 1:
         from .parallel.mesh import make_mesh
         from .parallel.ring import run_steps_sharded

@@ -187,6 +187,18 @@ class Simulation:
         self._resident = (mesh is None and not self._flat
                           and not self._use_multiprog
                           and should_use_resident(cfg, self.impl))
+        if cfg.resident is True and not self._resident:
+            # The short-circuit above never consulted should_use_resident
+            # when mesh/flat/multiprog routing engaged — but resident=True
+            # promises "forces or raises" (config.py).  Re-consult so an
+            # out-of-scope config raises with the real reason; if it WAS
+            # feasible, the preempting routing layer is the error.
+            should_use_resident(cfg, self.impl)
+            raise ValueError(
+                "resident=True but mesh/flat/multiprog routing preempts "
+                "the VMEM-resident mode (it is single-device and the "
+                "whole state must fit in VMEM); drop --resident on or "
+                "the conflicting scale options")
         if cfg.integrator != "reference":
             # The priming force eval is as long as any stepping eval (a
             # full N² sweep — ~45 min at 33.5M) and happens before run()
@@ -358,9 +370,14 @@ class Simulation:
         # routing each step already dispatches as bounded programs.
         bound = n_steps
         if not self._use_multiprog:
+            from ..models.integrators import KDK_WEIGHTS
             from ..ops.forces_pallas_sym import DEFAULT_PROG_CAP
             cap = cfg.prog_cap or DEFAULT_PROG_CAP
-            per_chip = max(1, cfg.interactions_per_step
+            # KDK-composed integrators sweep once per sub-step weight
+            # (yoshida4 = 3 force sweeps/step) — the cap bounds SWEEPS
+            # per program, exactly like ops.step.max_fused_steps.
+            evals = len(KDK_WEIGHTS.get(cfg.integrator, (1.0,)))
+            per_chip = max(1, evals * cfg.interactions_per_step
                            // (self.mesh.devices.size
                                if self.mesh is not None else 1))
             bound = max(1, int(cap // per_chip))

@@ -27,6 +27,14 @@ def resolve_impl(cfg: SimConfig) -> str:
     if cfg.dtype != "float32":
         # Pallas kernels are float32-only; the XLA paths follow input dtype.
         return "xla_nxn" if cfg.n_bodies <= 4096 else "xla"
+    if cfg.resident is True:
+        # Forced resident: resolve to an impl the resident path can serve
+        # at ANY N and on any backend (interpret mode off-TPU);
+        # should_use_resident itself raises if the config is truly out of
+        # scope.  Without this, forcing at N<=2048 resolves to 'pallas'
+        # (or 'xla_nxn' off-TPU) and the force contract errors on the
+        # impl instead of engaging (review r6).
+        return "pallas_sym2"
     on_tpu = jax.default_backend() == "tpu"
     if cfg.n_bodies <= 4096 and not on_tpu:
         return "xla_nxn"

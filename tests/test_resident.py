@@ -287,3 +287,37 @@ def test_resident_yoshida4_time_reversibility():
     err = np.max(np.abs(np.asarray(out.pos) - np.asarray(st.pos)) /
                  (np.abs(np.asarray(st.pos)) + 1.0))
     assert err < 1e-4, err
+
+
+def test_forced_resident_engages_below_auto_window():
+    """resident=True + impl=auto must resolve to a resident-servable impl
+    at ANY small N (review r6: the redirect used to resolve 'pallas' at
+    N<=2048 and the force contract errored on the impl)."""
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.ops.forces import resolve_impl
+    from nbody_tpu.ops.resident import should_use_resident
+    cfg = SimConfig(n_bodies=2048, resident=True)
+    impl = resolve_impl(cfg)
+    assert impl == "pallas_sym2"
+    assert should_use_resident(cfg, impl)
+    assert Simulation(cfg)._resident
+    cfg2 = SimConfig(n_bodies=2560, integrator="kdk", resident=True)
+    assert resolve_impl(cfg2) == "pallas_sym2"
+    assert Simulation(cfg2)._resident
+
+
+def test_forced_resident_raises_when_preempted_or_infeasible():
+    """resident=True promises 'forces or raises': scale options that
+    preempt it (mesh/flat/prog_cap) and infeasible N must error, not
+    silently fall through to another routing layer (review r6)."""
+    from nbody_tpu.bench_lib import run_benchmark
+    from nbody_tpu.models.simulation import Simulation
+    with pytest.raises(ValueError, match="no VMEM-feasible layout"):
+        Simulation(SimConfig(n_bodies=10_000_000, resident=True))
+    with pytest.raises(ValueError, match="preempts"):
+        Simulation(SimConfig(n_bodies=4096, resident=True, prog_cap=1e6))
+    with pytest.raises(ValueError, match="preempts"):
+        run_benchmark(n=256, steps=2, trials=1, warmup_steps=1,
+                      resident=True, shards=2)
+    with pytest.raises(ValueError, match="no VMEM-feasible layout"):
+        run_benchmark(n=10_000_000, steps=2, trials=1, resident=True)
