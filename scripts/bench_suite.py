@@ -129,13 +129,18 @@ def config_viz():
     sim = Simulation(cfg)
     with tempfile.TemporaryDirectory() as td:
         with FrameStreamer(td) as fs:
-            # warmup/compile
-            sim.run(n_steps=2, log_every=0, frame_streamer=fs)
-            t0 = time.time()
+            # Warmup with the SAME step count as the timed run: the
+            # batched frame program embeds the chunk length, so a
+            # different warmup count leaves the timed program to compile
+            # inside the measurement (read 3.3 "fps" where the loaded-
+            # program rate is ~30).
             steps = 20
             sim.run(n_steps=steps, log_every=0, frame_streamer=fs)
+            warm_frames = fs.frames_written
+            t0 = time.time()
+            sim.run(n_steps=steps, log_every=0, frame_streamer=fs)
             dt = time.time() - t0
-        frames = fs.frames_written
+            frames = fs.frames_written - warm_frames
     return {"config": "viz", "n": n, "steps": steps,
             "frames": frames, "fps": round(frames / dt, 2),
             "steps_per_s": round(steps / dt, 2),
