@@ -297,7 +297,7 @@ def cmd_run(args) -> int:
     if not args.quiet:
         print(f"Simulation complete: {result.steps_run} steps, "
               f"{result.ms_per_step:.3f} ms/step, "
-              f"{result.ginter_per_s:.1f} GInter/s"
+              f"{result.ginter_per_s:{'.1f' if result.ginter_per_s >= 10 else '.3g'}} GInter/s"
               + (f", energy drift {result.energy_drift:.3e}"
                  if result.energy_drift is not None else ""))
         if streamer is not None and args.viz:

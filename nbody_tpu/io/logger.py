@@ -40,7 +40,11 @@ class RunLogger:
             if "ms_per_step" in record:
                 parts.append(f"{record['ms_per_step']:8.2f} ms/step")
             if "ginter_per_s" in record:
-                parts.append(f"{record['ginter_per_s']:8.1f} GInter/s")
+                g = record["ginter_per_s"]
+                # Small-N rates round to "0.0" at fixed precision; keep
+                # 3 significant digits below 10 G/s.
+                parts.append(f"{g:8.1f} GInter/s" if g >= 10
+                             else f"{g:8.3g} GInter/s")
             if record.get("energy_drift") is not None:
                 parts.append(f"drift {record['energy_drift']:.3e}")
             print("  ".join(parts), file=self.stream)

@@ -349,7 +349,10 @@ class Simulation:
         e0 = energy_f64(self.state, cfg.eps2) if track_energy else None
         self.logger.banner(
             f"== nbody_tpu: N={cfg.n_bodies} steps={n_steps} "
-            f"impl={self.impl} integrator={cfg.integrator} "
+            f"impl={self.impl}"
+            + (" (resident)" if self._resident else "")
+            + (" (flat)" if self._flat else "")
+            + f" integrator={cfg.integrator} "
             f"dt={cfg.dt} eps2={cfg.eps2} "
             f"backend={jax.default_backend()} ==")
 
