@@ -257,9 +257,9 @@ def cmd_run(args) -> int:
         from .viz.stream import FrameStreamer
         sinks.append(FrameStreamer(args.viz_dir))
     if getattr(args, "viz_avi", None):
-        from .viz.avi import AviStreamer
-        sinks.append(AviStreamer(args.viz_avi, cfg.viz_width,
-                                 cfg.viz_height, fps=args.viz_fps))
+        from .viz.video import video_streamer
+        sinks.append(video_streamer(args.viz_avi, cfg.viz_width,
+                                    cfg.viz_height, fps=args.viz_fps))
     if getattr(args, "viz_serve", None) is not None:
         from .viz.server import LiveViewer
         viewer = LiveViewer(port=args.viz_serve)
@@ -538,8 +538,8 @@ def cmd_render(args) -> int:
     rendered = []
     avi = None
     if args.avi:
-        from .viz.avi import AviWriter
-        avi = AviWriter(args.avi, args.width, args.height, fps=args.fps)
+        from .viz.video import video_writer
+        avi = video_writer(args.avi, args.width, args.height, fps=args.fps)
     with FrameStreamer(args.out_dir) as fs:
         for i, pos in enumerate(snaps):
             frame = render_frame(
@@ -553,7 +553,7 @@ def cmd_render(args) -> int:
     print(f"rendered {snaps.shape[0]} frames -> {args.out_dir}")
     if avi is not None:
         avi.close()
-        print(f"wrote {snaps.shape[0]}-frame AVI -> {args.avi}")
+        print(f"wrote {snaps.shape[0]}-frame video -> {args.avi}")
     if args.gif:
         from .viz.gif import write_gif
         n = write_gif(args.gif, rendered, delay_cs=args.gif_delay_cs)
@@ -599,10 +599,12 @@ def build_parser() -> argparse.ArgumentParser:
                       help="stream PNG frames (replaces the GL window)")
     runp.add_argument("--viz-dir", default="frames")
     runp.add_argument("--viz-every", type=int, default=1)
-    runp.add_argument("--viz-avi", default=None, metavar="AVI",
-                      help="write rendered frames into an MJPEG AVI video "
+    runp.add_argument("--viz-avi", "--viz-video", default=None,
+                      metavar="VIDEO",
+                      help="write rendered frames into an MJPEG video "
                            "during the run (one seekable file instead of "
-                           "per-frame PNGs)")
+                           "per-frame PNGs); container picked by extension "
+                           "(.mp4/.m4v -> MP4, else AVI)")
     runp.add_argument("--viz-fps", type=int, default=25,
                       help="playback rate of --viz-avi")
     runp.add_argument("--viz-serve", type=int, default=None, metavar="PORT",
@@ -696,11 +698,12 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--gif", default=None, metavar="GIF",
                     help="additionally assemble frames into an animated GIF")
     rp.add_argument("--gif-delay-cs", type=int, default=4)
-    rp.add_argument("--avi", default=None, metavar="AVI",
-                    help="additionally write an MJPEG AVI video (long runs "
+    rp.add_argument("--avi", "--video", default=None, metavar="VIDEO",
+                    help="additionally write an MJPEG video (long runs "
                          "get one seekable file instead of thousands of "
                          "PNGs; the reference's watch-it-evolve UX, "
-                         "simulation_visualization.cpp:165-169)")
+                         "simulation_visualization.cpp:165-169); container "
+                         "picked by extension (.mp4/.m4v -> MP4, else AVI)")
     rp.add_argument("--fps", type=int, default=25,
                     help="AVI playback rate")
     rp.set_defaults(fn=cmd_render)
