@@ -317,7 +317,8 @@ def cmd_validate(args) -> int:
     implementations (including the reference's own fp32 GPU vs fp32 CPU
     pair) diverge beyond a 1% position tolerance within a few tens of
     steps.  Per-component comparison is therefore gated at a short horizon
-    (default 20 steps; the horizon counts FORCE SWEEPS, so yoshida4's three
+    (default 10 steps — the measured clean horizon at strict zero
+    bad-components; the horizon counts FORCE SWEEPS, so yoshida4's three
     sweeps per step shrink it ~3x in steps — validate yoshida4 at fewer
     steps or smaller dt), and long-horizon correctness is gated on integral
     quantities instead: device total energy vs oracle total energy
@@ -642,7 +643,12 @@ def build_parser() -> argparse.ArgumentParser:
     vp = sub.add_parser("validate",
                         help="lock-step differential test vs CPU oracle")
     _add_sim_args(vp)
-    vp.set_defaults(steps=20)  # chaotic divergence horizon; see cmd_validate
+    # Default horizon: 10 steps — the measured CLEAN horizon on the real
+    # chip (0/6144 components outside 1% at N=2048 and N=4096, strict
+    # max-bad-frac 0); by 20 steps chaotic amplification of last-bit
+    # rounding puts a handful of components past 1% for ANY
+    # implementation pair (see cmd_validate docstring, BASELINE.md).
+    vp.set_defaults(steps=10)
     vp.add_argument("--rel-tol", type=float, default=0.01,
                     help="per-component relative tolerance "
                          "(reference: 1%%, validation.cpp:144)")

@@ -74,6 +74,15 @@ def test_validate_analytic(capsys):
     assert "Analytic verification PASSED" in out
 
 
+def test_validate_default_horizon():
+    """Out-of-box `nbody validate` uses the measured CLEAN horizon (10
+    steps: 0 bad components on the real chip at strict max-bad-frac 0);
+    at 20 steps chaotic amplification fails ANY implementation pair."""
+    from nbody_tpu.cli import build_parser
+    args = build_parser().parse_args(["validate"])
+    assert args.steps == 10 and args.max_bad_frac == 0.0
+
+
 def test_validate_rejects_shards(capsys):
     rc = main(["validate", "--n", "128", "--steps", "5", "--impl", "xla",
                "--shards", "8"])
