@@ -43,7 +43,7 @@ def run_benchmark(n: int = 65536, steps: Optional[int] = None,
                     chunk=chunk, seed=seed, panel_nb=panel_nb,
                     block_u=block_u, prog_cap=prog_cap,
                     flat_state=flat_state, resident=resident)
-    impl_resolved = resolve_impl(cfg)
+    impl_resolved = resolve_impl(cfg, sharded=bool(shards and shards > 1))
     if steps is None:
         # Auto step count: a short trial at small/mid N measures relay
         # dispatch latency, not the kernel (a 100-step protocol read
@@ -70,20 +70,26 @@ def run_benchmark(n: int = 65536, steps: Optional[int] = None,
     used_flat = False
     used_resident = False
     steps_are_static = True   # does the compiled program embed n_steps?
-    if cfg.resident is True:
+    forced_resident = cfg.resident is True
+    if forced_resident:
         # resident=True promises "forces or raises" (config.py); the
         # sharded/flat/multiprog branches below would silently preempt
         # it (review r6).  Out-of-scope configs (wrong integrator/dtype/
         # impl, N past the VMEM wall — which covers every auto-multiprog
         # N) raise here with the real reason; feasible ones raise on the
-        # explicitly conflicting scale options.
+        # explicitly conflicting scale options.  A prog_cap that does NOT
+        # split one step is NOT a conflict: resident chunking honors it
+        # via max_fused_steps below (ADVICE r3).
         from .ops.resident import should_use_resident
         should_use_resident(cfg, impl_resolved)
-        if (shards and shards > 1) or cfg.flat_state or cfg.prog_cap:
+        cap_splits_step = (cfg.prog_cap is not None
+                           and cfg.interactions_per_step > cfg.prog_cap)
+        if (shards and shards > 1) or cfg.flat_state or cap_splits_step:
             raise ValueError(
-                "resident=True but shards/flat_state/prog_cap routing "
-                "preempts the VMEM-resident mode (single-device, whole "
-                "state in VMEM); drop resident=True or the scale options")
+                "resident=True but shards/flat_state routing (or a "
+                "prog_cap below one step's interactions) preempts the "
+                "VMEM-resident mode (single-device, whole steps in one "
+                "program); drop resident=True or the scale options")
     if shards and shards > 1:
         from .parallel.mesh import make_mesh
         from .parallel.ring import run_steps_sharded
@@ -112,7 +118,7 @@ def run_benchmark(n: int = 65536, steps: Optional[int] = None,
 
             def advance(s, k):
                 return run_steps_flat(s, cfg, k, impl=impl_resolved)
-        elif should_use_multiprog(cfg, impl_resolved):
+        elif should_use_multiprog(cfg, impl_resolved) and not forced_resident:
             # One fused step would exceed the per-program execution bound
             # (relay kill / preemptible-scheduler limits): same routing as
             # Simulation._run_chunk.

@@ -143,7 +143,7 @@ class Simulation:
         self.logger = logger or RunLogger(quiet=True)
         self.mesh = mesh
         self.comm = comm
-        self.impl = resolve_impl(cfg)
+        self.impl = resolve_impl(cfg, sharded=mesh is not None)
         # Flat (3N,) state layout above the (N, 3) tiled-copy wall (the
         # >16M-body mode; docs/PERF.md memory walls) — single device only.
         # An EXPLICIT flat request cannot be honored on a mesh (the
@@ -177,8 +177,18 @@ class Simulation:
         # N=4M exact step is ~71 s).  pallas_sym* single-device only; the
         # flat mode is always bounded-program.  (Computed before KDK
         # priming: the priming heartbeat below keys off it.)
+        # A FORCED resident mode honors a non-binding prog_cap through the
+        # chunk bound in _run_impl (steps per program), so an explicit cap
+        # only preempts resident routing when it would split ONE step —
+        # something the whole-steps-in-one-program resident kernel cannot
+        # do (ADVICE r3).
+        forced_resident = (
+            cfg.resident is True and mesh is None
+            and (cfg.prog_cap is None
+                 or cfg.interactions_per_step <= cfg.prog_cap))
         self._use_multiprog = self._flat or (
-            mesh is None and should_use_multiprog(cfg, self.impl))
+            mesh is None and not forced_resident
+            and should_use_multiprog(cfg, self.impl))
         # VMEM-resident multi-step routing (the small-N counterpart of the
         # flat/multiprog modes): whole chunks run inside one device program
         # with state held in VMEM — measured 1.28x at N=4096 and 1.10x at

@@ -19,8 +19,14 @@ from .forces_xla import forces_chunked, forces_nxn
 _NXN_MAX_N = 16384
 
 
-def resolve_impl(cfg: SimConfig) -> str:
-    """Resolve impl='auto' to a concrete backend for this process's devices."""
+def resolve_impl(cfg: SimConfig, sharded: bool = False) -> str:
+    """Resolve impl='auto' to a concrete backend for this process's devices.
+
+    ``sharded``: the caller will run the config on a mesh.  Mesh runs
+    preempt the VMEM-resident mode (Simulation requires mesh is None), so
+    the 2048 < N < 3072 redirect below — which exists only to hand those N
+    to the resident window — would otherwise leave per-step sym2 in a
+    range where the one-sided kernel measures faster (ADVICE r3)."""
     impl = cfg.impl
     if impl != "auto":
         return impl
@@ -59,7 +65,8 @@ def resolve_impl(cfg: SimConfig) -> str:
         # 3072 (ops/resident.py) and per-step sym2 below 3072 is
         # unmeasured-to-losing.
         from .resident import resident_layout
-        if cfg.resident is not False and cfg.integrator == "reference":
+        if (not sharded and cfg.resident is not False
+                and cfg.integrator == "reference"):
             lay = resident_layout(cfg.n_bodies)
             if lay is not None and lay[0] >= 3:
                 return "pallas_sym2"

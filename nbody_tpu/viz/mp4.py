@@ -94,6 +94,16 @@ class Mp4Writer:
             raise ValueError(
                 f"frame shape {rgb.shape} != ({self.h}, {self.w}, 3)")
         data = _jpeg_encode(rgb, self.quality)
+        # 32-bit container fields (mdat size, stco offsets): reject the
+        # frame that would overflow them NOW, not after hours of frames
+        # have streamed (close() would otherwise die in struct.pack and
+        # leave a corrupt file; ADVICE r3).
+        end = self._f.tell() + len(data)
+        if end - self._mdat_off >= 1 << 32 or end >= 1 << 32:
+            raise OverflowError(
+                f"MP4 mdat/stco fields are 32-bit; adding this frame would "
+                f"push the file past 4 GiB ({end} bytes). Close this file "
+                f"and continue in a new one.")
         self._offsets.append(self._f.tell())
         self._f.write(data)
         self._sizes.append(len(data))
@@ -145,6 +155,14 @@ class Mp4Writer:
             return
         f, self._f = self._f, None
         mdat_end = f.tell()
+        if mdat_end - self._mdat_off >= 1 << 32:
+            # add() pre-checks every frame, so this is a belt-and-braces
+            # guard; raise the same typed error rather than an opaque
+            # struct.error from pack (ADVICE r3).
+            f.close()
+            raise OverflowError(
+                "MP4 mdat size exceeds 32 bits; file too large for this "
+                "writer")
         f.write(self._moov())
         f.seek(self._mdat_off)
         f.write(struct.pack(">I", mdat_end - self._mdat_off))

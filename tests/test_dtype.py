@@ -107,6 +107,12 @@ def test_auto_impl_prefers_sym_on_tpu(monkeypatch):
     assert resolve_impl(
         SimConfig(n_bodies=2560, integrator="yoshida4")) == "pallas"
     assert resolve_impl(SimConfig(n_bodies=2048)) == "pallas"
+    # Sharded runs preempt the resident mode, so the 2048<N<3072 redirect
+    # (which exists only to reach the resident window) must not fire for
+    # them — per-step sym2 there loses to the one-sided kernel (ADVICE r3).
+    assert resolve_impl(SimConfig(n_bodies=2560), sharded=True) == "pallas"
+    assert resolve_impl(SimConfig(n_bodies=3072), sharded=True) \
+        == "pallas_sym2"
 
 
 def test_pallas_rejects_non_f32():

@@ -154,3 +154,21 @@ def test_cli_run_viz_mp4(tmp_path):
                "--viz-video", mp4, "--viz-every", "2", "--quiet"])
     assert rc == 0
     assert _parse_mp4(mp4)[0] == 2
+
+
+def test_mp4_overflow_guard_fails_fast(tmp_path):
+    """The 32-bit mdat/stco fields must reject the overflowing frame at
+    add() time (before hours of frames stream), with a typed error rather
+    than an opaque struct.error at close() (ADVICE r3)."""
+    pytest.importorskip("PIL")
+    from nbody_tpu.viz.mp4 import Mp4Writer
+    frame = np.zeros((8, 8, 3), np.uint8)
+    w = Mp4Writer(str(tmp_path / "o.mp4"), 8, 8)
+    w.add(frame)
+    # Simulate a file whose next frame would push mdat past 4 GiB.
+    w._mdat_off -= 1 << 32
+    with pytest.raises(OverflowError, match="4 GiB"):
+        w.add(frame)
+    w._mdat_off += 1 << 32
+    w.add(frame)
+    w.close()

@@ -321,3 +321,21 @@ def test_forced_resident_raises_when_preempted_or_infeasible():
                       resident=True, shards=2)
     with pytest.raises(ValueError, match="no VMEM-feasible layout"):
         run_benchmark(n=10_000_000, steps=2, trials=1, resident=True)
+
+
+def test_forced_resident_honors_nonbinding_prog_cap():
+    """A prog_cap that does NOT split one step is compatible with
+    resident=True: resident chunking honors the cap via max_fused_steps,
+    so routing must keep resident engaged rather than raise (ADVICE r3)."""
+    from nbody_tpu.bench_lib import run_benchmark
+    from nbody_tpu.models.simulation import Simulation
+    cfg = SimConfig(n_bodies=2048, resident=True,
+                    prog_cap=float(2048 * 2048 * 4))
+    sim = Simulation(cfg)
+    assert sim._resident and not sim._use_multiprog
+    res = run_benchmark(n=256, steps=2, trials=1, warmup_steps=1,
+                        resident=True, prog_cap=float(256 * 256 * 8))
+    assert res["resident"] is True
+    # A cap BELOW one step still raises (resident cannot split a step).
+    with pytest.raises(ValueError, match="preempts"):
+        Simulation(SimConfig(n_bodies=4096, resident=True, prog_cap=1e6))
