@@ -174,8 +174,12 @@ class Simulation:
         # multi-program path; otherwise it engages automatically when one
         # fused force evaluation would exceed the default per-program bound
         # (execution-time-limited runtimes kill such programs — the fused
-        # N=4M exact step is ~71 s).  pallas_sym* single-device only; the
-        # flat mode is always bounded-program.  (Computed before KDK
+        # N=4M exact step is ~71 s).  pallas_sym* impls only; the flat
+        # mode is always bounded-program.  On a MESH the bound applies per
+        # chip and dispatch rides the N3L ring (parallel/multiprog.py) —
+        # comm='allgather'/'rdma' have no bounded split, so those fall
+        # through to the fused sharded path (and warn in _run_impl when
+        # one program would exceed the cap).  (Computed before KDK
         # priming: the priming heartbeat below keys off it.)
         # A FORCED resident mode honors a non-binding prog_cap through the
         # chunk bound in _run_impl (steps per program), so an explicit cap
@@ -186,9 +190,10 @@ class Simulation:
             cfg.resident is True and mesh is None
             and (cfg.prog_cap is None
                  or cfg.interactions_per_step <= cfg.prog_cap))
+        n_dev = mesh.devices.size if mesh is not None else 1
         self._use_multiprog = self._flat or (
-            mesh is None and not forced_resident
-            and should_use_multiprog(cfg, self.impl))
+            (mesh is None or comm == "ring") and not forced_resident
+            and should_use_multiprog(cfg, self.impl, n_devices=n_dev))
         # VMEM-resident multi-step routing (the small-N counterpart of the
         # flat/multiprog modes): whole chunks run inside one device program
         # with state held in VMEM — measured 1.28x at N=4096 and 1.10x at
@@ -285,6 +290,12 @@ class Simulation:
 
     def _run_chunk(self, n: int) -> None:
         if self.mesh is not None:
+            if self._use_multiprog:
+                from ..parallel.multiprog import run_steps_sharded_multiprog
+                self.state = run_steps_sharded_multiprog(
+                    self.state, self.cfg, self.mesh, n, impl=self.impl,
+                    comm=self.comm, progress=self.progress)
+                return
             from ..parallel.ring import run_steps_sharded
             self.state = run_steps_sharded(
                 self.state, self.cfg, self.mesh, n, impl=self.impl,
@@ -395,18 +406,24 @@ class Simulation:
                                if self.mesh is not None else 1))
             bound = max(1, int(cap // per_chip))
             if per_chip > cap:
-                # Impls without a multi-program path (xla, one-sided
-                # pallas) cannot split ONE step: the single-step program
-                # still exceeds the cap and an execution-time-limited
-                # runtime will kill it (ADVICE r2) — tell the user to
-                # switch impl rather than let the worker die silently.
+                # Configurations without a multi-program path cannot split
+                # ONE step: the single-step program still exceeds the cap
+                # and an execution-time-limited runtime will kill it
+                # (ADVICE r2) — tell the user the remedy rather than let
+                # the worker die silently.  (Mesh + pallas_sym* +
+                # comm='ring' never reaches here: parallel/multiprog.py
+                # splits each chip's eval into bounded programs.)
                 import warnings
                 if self.mesh is not None:
-                    # Sharded runs have no bounded-program path for ANY
-                    # impl — advising an impl switch would be futile.
-                    remedy = ("sharded runs cannot split one step into "
-                              "bounded programs; add chips or drop to a "
-                              "single-device pallas_sym* run")
+                    from ..ops.step import _SYM_IMPL_VARIANTS
+                    if self.impl in _SYM_IMPL_VARIANTS:
+                        remedy = (f"comm={self.comm!r} sweeps have no "
+                                  f"bounded split; use comm='ring'")
+                    else:
+                        remedy = (f"impl={self.impl!r} has no "
+                                  f"bounded-program path; switch to a "
+                                  f"pallas_sym* impl (bounded mesh "
+                                  f"dispatch rides the N3L ring)")
                 else:
                     remedy = (f"impl={self.impl!r} has no bounded-program "
                               f"path; switch to a pallas_sym* impl")

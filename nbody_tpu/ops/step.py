@@ -51,14 +51,18 @@ def should_use_flat(cfg: SimConfig, impl: str) -> bool:
             and cfg.n_bodies > FLAT_AUTO_THRESHOLD)
 
 
-def should_use_multiprog(cfg: SimConfig, impl: str) -> bool:
+def should_use_multiprog(cfg: SimConfig, impl: str,
+                         n_devices: int = 1) -> bool:
     """Single source of truth for bounded-program routing: an explicit
     ``cfg.prog_cap`` forces it; otherwise it engages when one fused force
     evaluation would exceed the default per-program bound (past which
-    execution-time-limited runtimes kill the program)."""
+    execution-time-limited runtimes kill the program).  On a mesh the
+    bound applies PER CHIP (the eval is N²/P interactions per chip;
+    ``parallel/multiprog.py`` is the mesh dispatcher)."""
     return (impl in _SYM_IMPL_VARIANTS
             and (cfg.prog_cap is not None
-                 or float(cfg.n_bodies) ** 2 > DEFAULT_PROG_CAP))
+                 or float(cfg.n_bodies) ** 2 / max(1, n_devices)
+                 > DEFAULT_PROG_CAP))
 
 
 def max_fused_steps(cfg: SimConfig) -> int:
