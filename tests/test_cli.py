@@ -83,6 +83,51 @@ def test_validate_default_horizon():
     assert args.steps == 10 and args.max_bad_frac == 0.0
 
 
+def test_validate_long_horizon_default():
+    """The long-horizon phase is the DEFAULT story (VERDICT r3 #5): 1,000
+    lock-step steps — the reference harness's own count
+    (validation.cpp:65) — with the energy gate at BASELINE's 1e-3."""
+    from nbody_tpu.cli import build_parser
+    args = build_parser().parse_args(["validate"])
+    assert args.long_steps == 1000
+    assert args.energy_gate == 1e-3
+    assert args.invariant_gate == 1e-3
+
+
+def test_validate_long_horizon_chaos_dominated(capsys):
+    """At the reference's own parameters the f64 oracle itself violates
+    conservation (BASELINE.md settlement): the energy drift is reported,
+    not gated, and the exactly-conserved invariants gate instead."""
+    rc = main(["validate", "--n", "128", "--impl", "xla_nxn"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "chaos-dominated" in out
+    assert "[INFO] energy: device vs oracle drift" in out
+    assert "[OK ] momentum: " in out
+    assert "[OK ] angular momentum: " in out
+    assert "long-horizon gates" in out
+
+
+def test_validate_long_horizon_well_posed_energy_gate(capsys):
+    """With well-posed softening and a symplectic integrator the oracle
+    conserves at the horizon and the 1e-3 energy gate HARD-gates."""
+    rc = main(["validate", "--n", "128", "--impl", "xla_nxn",
+               "--integrator", "kdk", "--eps2", "1e8",
+               "--long-steps", "200"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "well-posed" in out
+    assert "[OK ] energy: device vs oracle drift" in out
+
+
+def test_validate_long_steps_zero_disables(capsys):
+    rc = main(["validate", "--n", "128", "--impl", "xla_nxn",
+               "--long-steps", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[long]" not in out and "long-horizon" not in out
+
+
 def test_validate_rejects_shards(capsys):
     rc = main(["validate", "--n", "128", "--steps", "5", "--impl", "xla",
                "--shards", "8"])
@@ -279,10 +324,11 @@ def test_run_save_trajectory_sharded(tmp_path):
 
 
 def test_run_flat_state_with_shards_rejected(capsys):
-    """Explicit --flat-state with --shards must error (flat is
-    single-device only), not silently run the (N, 3) layout."""
+    """Explicit --flat-state with --shards must error with the design
+    rationale (flat + mesh is unnecessary: the tiled-copy wall applies
+    per chip), not silently run either layout."""
     import pytest
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="unnecessary by design"):
         main(["run", "--n", "256", "--steps", "1", "--impl", "pallas_sym",
               "--block-i", "8", "--block-j", "32", "--block-u", "32",
               "--flat-state", "on", "--shards", "2", "--quiet"])
