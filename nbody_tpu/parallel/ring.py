@@ -184,8 +184,11 @@ def allgather_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
                               self_tile=False)
 
 
-def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
-                       n_steps: int, impl: str, comm: str, axis: str):
+def _one_step_local(mass_l, cfg: SimConfig, impl: str, comm: str,
+                    axis: str):
+    """Build the per-shard single-step update ``(pos, vel, acc) ->
+    (pos, vel, acc)`` for the configured comm tier + integrator — shared
+    by the plain run loop and the in-loop frame loop."""
     if comm == "rdma":
         from .rdma_ring import rdma_forces_local
         force = rdma_forces_local
@@ -202,7 +205,7 @@ def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
         # first half-kick uses the acceleration carried in state.acc
         # (callers must prime it with a(x_0); Simulation.__init__ does via
         # prime_kdk).  The sub-step loop unrolls at trace time.
-        def one_step(_, carry):
+        def one_step(carry):
             pos, vel, acc = carry
             for w in weights:
                 wdt = w * cfg.dt
@@ -212,16 +215,21 @@ def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
                 vel = kdk_kick(vel_half, acc, wdt)
             return pos, vel, acc
     elif cfg.integrator == "reference":
-        def one_step(_, carry):
+        def one_step(carry):
             pos, vel, acc = carry
             new_acc = force(pos, mass_l, cfg, impl, axis)
             new_pos, new_vel = reference_update(pos, vel, new_acc, cfg.dt)
             return new_pos, new_vel, new_acc
     else:
         raise ValueError(f"unknown integrator {cfg.integrator!r}")
+    return one_step
 
+
+def _sharded_run_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
+                       n_steps: int, impl: str, comm: str, axis: str):
+    one_step = _one_step_local(mass_l, cfg, impl, comm, axis)
     pos, vel, acc = jax.lax.fori_loop(
-        0, n_steps, one_step, (pos_l, vel_l, acc_l))
+        0, n_steps, lambda _, c: one_step(c), (pos_l, vel_l, acc_l))
     return pos, vel, acc
 
 
@@ -243,15 +251,17 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     if comm not in ("ring", "allgather", "rdma"):
         raise ValueError(
             f"comm must be 'ring', 'allgather', or 'rdma', got {comm!r}")
-    if comm == "rdma" and impl not in (None, "auto", "pallas"):
-        # v1 of the fused-comm kernel computes the exact one-sided tier
-        # only; say so rather than silently swap accuracy/speed class
-        # under a benchmark (review r4).
-        import warnings
-        warnings.warn(
-            f"comm='rdma' v1 always runs the exact one-sided tier; "
-            f"impl={impl!r} is ignored (the variant ladder rides "
-            f"comm='ring'/'allgather')")
+    if comm == "rdma":
+        # v2 accepts the full sym ladder (cross-chip N3L) and the
+        # one-sided exact/turbo family; anything else fails loudly in
+        # rdma_forces_local rather than silently swapping accuracy class.
+        from .rdma_ring import _RDMA_ONE_SIDED
+        resolved = _resolve_local_impl(impl)
+        if resolved not in _SYM_VARIANTS and resolved not in _RDMA_ONE_SIDED:
+            raise ValueError(
+                f"comm='rdma' supports the pallas_sym* ladder and the "
+                f"one-sided {sorted(_RDMA_ONE_SIDED)} family, got "
+                f"{resolved!r}")
     n_real = state.n
     p = mesh.shape[axis]
     state = pad_state_to(state, shard_padding(cfg, p))
@@ -273,3 +283,76 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     pos, vel, acc = sharded(state.pos, state.vel, state.acc, state.mass)
     out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
     return unpad_state(out, n_real)
+
+
+def _sharded_frames_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
+                          n_steps: int, frame_every: int, impl: str,
+                          comm: str, axis: str, view):
+    """Per-shard run loop with in-loop rendered frames: each chip
+    rasterizes its LOCAL shard to a packed (H, W) weight map inside the
+    compiled loop and the maps max-combine across the mesh (``pmax`` —
+    the same brightest-point splat rule the rasterizer uses per pixel,
+    so the combined frame is pixel-identical to rendering the gathered
+    state).  Zero-mass ghosts never draw, so padding is invisible."""
+    from ..viz.raster import render_weights
+    one_step = _one_step_local(mass_l, cfg, impl, comm, axis)
+    mv, cu, cv = view
+
+    def outer(carry, _):
+        carry = jax.lax.fori_loop(
+            0, frame_every, lambda _, c: one_step(c), carry)
+        pos, _, _ = carry
+        w8 = render_weights(pos, mass_l, cfg.min_mass, cfg.max_mass, mv,
+                            cfg.viz_width, cfg.viz_height, 2, cu, cv)
+        # uint8 rides the collective as int32 (max-combine; cast back).
+        w8 = jax.lax.pmax(w8.astype(jnp.int32), axis).astype(jnp.uint8)
+        return carry, w8
+
+    n_frames = n_steps // frame_every
+    carry, frames = jax.lax.scan(
+        outer, (pos_l, vel_l, acc_l), None, length=n_frames)
+    rem = n_steps - n_frames * frame_every
+    if rem:
+        carry = jax.lax.fori_loop(
+            0, rem, lambda _, c: one_step(c), carry)
+    pos, vel, acc = carry
+    return pos, vel, acc, frames
+
+
+def run_trajectory_frames_sharded(
+        state: SimState, cfg: SimConfig, mesh: Mesh, n_steps: int,
+        frame_every: int = 1, impl: Optional[str] = None,
+        comm: str = "ring", view: "tuple | None" = None,
+        axis: str = SHARD_AXIS):
+    """``ops.step.run_trajectory_frames`` on a mesh (VERDICT r3 #6): the
+    whole chunk — ring sweeps, integration, AND rasterization — runs
+    inside one ``jit(shard_map(...))`` program; frames batch through the
+    device->host link in one transfer per chunk exactly like the
+    single-chip path (the per-frame round-trip, not the rasterizer, was
+    the 7 fps bottleneck through the relay).
+
+    Returns ``(final SimState, frames (F, H, W) uint8 packed weight
+    maps)`` — feed ``viz.raster.colorize`` for RGB.
+    """
+    n_real = state.n
+    p = mesh.shape[axis]
+    state = pad_state_to(state, shard_padding(cfg, p))
+    local_impl = _resolve_local_impl(impl)
+    mv, cu, cv = view if view is not None else (cfg.max_view, 0.0, 0.0)
+
+    fn = functools.partial(
+        _sharded_frames_local, cfg=cfg, n_steps=n_steps,
+        frame_every=frame_every, impl=local_impl, comm=comm, axis=axis,
+        view=(mv, cu, cv))
+    sharded = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            # frames are replicated after the pmax combine.
+            out_specs=(P(axis), P(axis), P(axis), P()),
+            check_vma=False,
+        ))
+    pos, vel, acc, frames = sharded(state.pos, state.vel, state.acc,
+                                    state.mass)
+    out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
+    return unpad_state(out, n_real), frames

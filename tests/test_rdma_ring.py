@@ -114,12 +114,109 @@ def test_rdma_cli_run():
     assert rc == 0
 
 
-def test_rdma_vmem_budget_accounting():
-    """The v1 VMEM model: pos/acc lane-pad 3->128 (512 B/body each), the
-    posT/mass operands and both packed comm slots sublane-pad to 8 rows."""
-    from nbody_tpu.parallel.rdma_ring import _vmem_bytes
-    c = 4096
-    assert _vmem_bytes(c) == c * 512 * 2 + 8 * c * 4 * 2 + 2 * 8 * c * 4
-    # 8k bodies/shard fits the 14 MB budget; 32k does not.
-    assert _vmem_bytes(8192) < 14 * 1024 * 1024
-    assert _vmem_bytes(32768) > 14 * 1024 * 1024
+# ---------------------------------------------------------------------------
+# v2 (round 4, verdict r3 #3): HBM-resident shards, the full sym variant
+# ladder over the cross-chip N3L half-ring, arbitrary shard sizes.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("p", [8, 5, 2])
+@pytest.mark.parametrize("impl", ["pallas_sym", "pallas_sym2"])
+def test_rdma_sym_exact_tiers(p, impl):
+    """Exact sym tiers through the fused N3L ring at three mesh parities:
+    p=8 exercises the even-P antipodal one-sided phase, p=5 the pure
+    odd-P half sweep with the direct travel-return RDMA, p=2 the
+    antipodal-only degenerate ring."""
+    n, steps = 512, 3
+    state, pos, vel, mass = make_state(n, seed=50)
+    cfg = SimConfig(n_bodies=n, impl=impl, block_i=8, block_j=32,
+                    block_u=32)
+    out = run_steps_sharded(state, cfg, make_mesh(p), steps, impl=impl,
+                            comm="rdma")
+    rpos, _, racc = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps)
+    assert_matches_oracle(np.asarray(out.pos), rpos,
+                          f"pos(rdma-{impl} p={p})", abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.acc), racc,
+                          f"acc(rdma-{impl} p={p})", abs_tol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["pallas_sym_turbo", "pallas_sym_turbo2",
+                                  "pallas_sym_mxu", "pallas_turbo"])
+def test_rdma_variant_ladder(impl):
+    """Every remaining ladder tier rides the RDMA ring at its documented
+    accuracy: bf16-weight tiers gate p99 relative error, the near-exact
+    mxu tier gates the oracle with a small allowance.  pallas_turbo is
+    the one-sided bf16 family member (full-ring data-only payloads)."""
+    n, steps = 1024, 2
+    state, pos, vel, mass = make_state(n, seed=51)
+    cfg = SimConfig(n_bodies=n, impl=impl, block_i=8, block_j=128,
+                    block_u=128)
+    out = run_steps_sharded(state, cfg, make_mesh(8), steps, impl=impl,
+                            comm="rdma")
+    rpos, _, racc = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps)
+    if impl == "pallas_sym_mxu":
+        assert_matches_oracle(np.asarray(out.pos), rpos, f"pos({impl})",
+                              abs_tol=1.0, max_frac_bad=2e-3)
+    else:
+        err = np.abs(np.asarray(out.acc) - racc) / (np.abs(racc) + 1e-30)
+        assert np.percentile(err, 99) < 5e-2
+        assert np.all(np.isfinite(np.asarray(out.pos)))
+
+
+def test_rdma_sym_matches_ppermute_ring():
+    """The fused N3L ring and the ppermute N3L ring compute the same
+    physics (identical per-shard pair decomposition; summation grouping
+    differs only within the fp32 contract)."""
+    n, steps = 512, 5
+    state, *_ = make_state(n, seed=52)
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=8, block_j=128,
+                    block_u=128)
+    out_rdma = run_steps_sharded(state, cfg, make_mesh(5), steps,
+                                 impl="pallas_sym", comm="rdma")
+    out_ring = run_steps_sharded(state, cfg, make_mesh(5), steps,
+                                 impl="pallas_sym", comm="ring")
+    np.testing.assert_allclose(
+        np.asarray(out_rdma.pos), np.asarray(out_ring.pos),
+        rtol=1e-4, atol=1.0)
+
+
+def test_rdma_sym_kdk():
+    """cfg.integrator routes identically through the sym RDMA path."""
+    from nbody_tpu.ops.step import prime_kdk
+    n, steps = 512, 4
+    state, pos, vel, mass = make_state(n, seed=53)
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym2", block_i=8,
+                    block_j=128, block_u=128, integrator="kdk")
+    state = prime_kdk(state, cfg, impl="pallas_sym2")
+    out = run_steps_sharded(state, cfg, make_mesh(4), steps,
+                            impl="pallas_sym2", comm="rdma")
+    rpos, rvel, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, steps,
+                               integrator="kdk")
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(rdma-sym-kdk)",
+                          abs_tol=1.0)
+    assert_matches_oracle(np.asarray(out.vel), rvel, "vel(rdma-sym-kdk)",
+                          abs_tol=1e-2)
+
+
+def test_rdma_sym_padding():
+    """N not divisible by P: zero-mass ghosts ride the N3L ring inertly
+    (travel-row contributions of ghosts are exactly 0)."""
+    n = 500
+    state, pos, vel, mass = make_state(n, seed=54)
+    cfg = SimConfig(n_bodies=n, impl="pallas_sym", block_i=8, block_j=32,
+                    block_u=32)
+    out = run_steps_sharded(state, cfg, make_mesh(8), 3, impl="pallas_sym",
+                            comm="rdma")
+    assert out.n == n
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 3)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(rdma-sym-pad)",
+                          abs_tol=1.0)
+
+
+def test_rdma_rejects_unsupported_impl():
+    """Non-sym, non-(pallas/pallas_turbo) impls fail loudly instead of
+    silently swapping accuracy class (v1 warned-and-ignored)."""
+    state, *_ = make_state(64, seed=55)
+    cfg = SimConfig(n_bodies=64, impl="xla", block_i=8, block_j=32)
+    with pytest.raises(ValueError, match="rdma"):
+        run_steps_sharded(state, cfg, make_mesh(2), 1, impl="xla",
+                          comm="rdma")
