@@ -69,7 +69,8 @@ def main() -> int:
             # loudly, not masquerade as a relay error.
             result["turbo"] = {k: t[k] for k in (
                 "value", "vs_baseline", "ms_per_step", "ginter_min",
-                "ginter_max", "spread_pct", "compile_plus_warmup_s")}
+                "ginter_max", "spread_pct", "compile_plus_warmup_s",
+                "compile_s", "first_touch_s")}
     if with_ref:
         # The reference's own config (N=8192): exact tier through the
         # resident routing, auto-sized trials (~1.5 s device work).

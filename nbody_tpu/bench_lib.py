@@ -92,18 +92,37 @@ def run_benchmark(n: int = 65536, steps: Optional[int] = None,
                 "VMEM-resident mode (single-device, whole steps in one "
                 "program); drop resident=True or the scale options")
     if shards and shards > 1:
-        from .parallel.mesh import make_mesh
-        from .parallel.ring import run_steps_sharded
+        from jax.sharding import NamedSharding, PartitionSpec
+        from .ops.step import should_use_multiprog
+        from .parallel.mesh import SHARD_AXIS, make_mesh
+        from .parallel.ring import run_steps_sharded, shard_padding
         if cfg.flat_state:
             raise ValueError(
-                "flat-state mode is single-device only (the sharded path "
-                "consumes (N, 3) shards); drop flat_state or shards")
-        state = init_state(cfg)
+                "flat-state + mesh is unnecessary by design (the (N,3) "
+                "tiled-copy wall applies per chip; mesh shards are "
+                "(N/P, 3)); drop flat_state — huge-N mesh runs route "
+                "through sharded bounded programs automatically")
         mesh = make_mesh(shards)
+        # Born sharded when shards are tile-aligned (no single-device
+        # (N, 3) buffer ever exists — matters at huge N, docs/PERF.md).
+        born = (NamedSharding(mesh, PartitionSpec(SHARD_AXIS))
+                if shard_padding(cfg, shards) == n else None)
+        state = init_state(cfg, sharding=born)
+        if comm == "ring" and should_use_multiprog(cfg, impl_resolved,
+                                                   n_devices=shards):
+            # One fused per-chip program would exceed the execution-time
+            # bound: same routing as Simulation._run_chunk on a mesh.
+            from .parallel.multiprog import run_steps_sharded_multiprog
+            steps_are_static = False
 
-        def advance(s, k):
-            return run_steps_sharded(s, cfg, mesh, k, impl=impl_resolved,
-                                     comm=comm)
+            def advance(s, k):
+                return run_steps_sharded_multiprog(
+                    s, cfg, mesh, k, impl=impl_resolved, comm=comm)
+        else:
+
+            def advance(s, k):
+                return run_steps_sharded(s, cfg, mesh, k,
+                                         impl=impl_resolved, comm=comm)
     else:
         from .ops.resident import should_use_resident
         from .ops.step import (max_fused_steps, run_steps_flat,

@@ -17,21 +17,38 @@ from ..config import SimConfig
 from .state import FlatState, SimState
 
 
-def init_state(cfg: SimConfig, key: "jax.Array | None" = None) -> SimState:
-    """Uniform random initial conditions matching utils.cpp:30-37 ranges."""
+def init_state(cfg: SimConfig, key: "jax.Array | None" = None,
+               sharding=None) -> SimState:
+    """Uniform random initial conditions matching utils.cpp:30-37 ranges.
+
+    ``sharding``: optional ``jax.sharding.Sharding`` — when given, the
+    state is GENERATED directly into that layout (``jit`` with
+    ``out_shardings``), so no single-device ``(N, 3)`` buffer ever
+    exists.  This matters at huge N on a mesh: each per-op ``(N, 3)``
+    tiled copy costs 42.7x on this stack (docs/PERF.md memory walls), so
+    mesh init must be born sharded rather than created on one chip and
+    redistributed.  Values are identical to the unsharded init (the PRNG
+    stream does not depend on layout)."""
     if key is None:
         key = jax.random.key(cfg.seed)
-    kpos, kmass = jax.random.split(key)
-    dtype = cfg.jnp_dtype
-    n = cfg.n_bodies
-    pos = jax.random.uniform(
-        kpos, (n, 3), dtype=jnp.float32,
-        minval=-cfg.max_pos, maxval=cfg.max_pos).astype(dtype)
-    mass = jax.random.uniform(
-        kmass, (n,), dtype=jnp.float32,
-        minval=cfg.min_mass, maxval=cfg.max_mass).astype(dtype)
-    zeros = jnp.zeros((n, 3), dtype=dtype)
-    return SimState(pos=pos, vel=zeros, acc=zeros, mass=mass)
+
+    def make(key):
+        kpos, kmass = jax.random.split(key)
+        dtype = cfg.jnp_dtype
+        n = cfg.n_bodies
+        pos = jax.random.uniform(
+            kpos, (n, 3), dtype=jnp.float32,
+            minval=-cfg.max_pos, maxval=cfg.max_pos).astype(dtype)
+        mass = jax.random.uniform(
+            kmass, (n,), dtype=jnp.float32,
+            minval=cfg.min_mass, maxval=cfg.max_mass).astype(dtype)
+        zeros = jnp.zeros((n, 3), dtype=dtype)
+        return SimState(pos=pos, vel=zeros, acc=zeros, mass=mass)
+
+    if sharding is not None:
+        return jax.jit(make, out_shardings=SimState(
+            pos=sharding, vel=sharding, acc=sharding, mass=sharding))(key)
+    return make(key)
 
 
 def init_state_flat(cfg: SimConfig,

@@ -20,7 +20,8 @@ def _fake_result(value=123.0):
         "metric": "GInteractions/s", "value": value, "unit": "GInter/s",
         "vs_baseline": value / 300.0, "ms_per_step": 1.0,
         "ginter_min": value, "ginter_max": value, "spread_pct": 0.0,
-        "compile_plus_warmup_s": 0.1, "finite": True,
+        "compile_plus_warmup_s": 0.1, "compile_s": 0.05,
+        "first_touch_s": 0.05, "finite": True,
     }
 
 

@@ -186,6 +186,47 @@ def test_simulation_mesh_default_cap_routing():
     assert not should_use_multiprog(cfg, "pallas_sym2", n_devices=8)
 
 
+def test_init_born_sharded_matches_unsharded():
+    """init_state(sharding=...) generates directly into the sharded
+    layout (no single-device (N,3) buffer) with IDENTICAL values — the
+    PRNG stream does not depend on layout."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.init import init_state
+    from nbody_tpu.parallel.mesh import SHARD_AXIS
+    cfg = SimConfig(n_bodies=512, impl="pallas_sym")
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, PartitionSpec(SHARD_AXIS))
+    s_sharded = init_state(cfg, sharding=sh)
+    s_plain = init_state(cfg)
+    assert s_sharded.pos.sharding.is_equivalent_to(sh, 2)
+    np.testing.assert_array_equal(np.asarray(s_sharded.pos),
+                                  np.asarray(s_plain.pos))
+    np.testing.assert_array_equal(np.asarray(s_sharded.mass),
+                                  np.asarray(s_plain.mass))
+
+
+def test_flat_scale_n_routes_to_mesh_multiprog():
+    """VERDICT r3 #2 settlement: at flat-mode N (>16.7M) a mesh routes
+    through sharded bounded programs on (C, 3) shards — flat + mesh is
+    unnecessary because the (N,3) tiled-copy wall applies PER CHIP.
+    Plan-level gate (one step at 33.5M is 1.1e15 interactions —
+    infeasible off-TPU; execution mechanics are gated at small N
+    above)."""
+    from nbody_tpu.ops.step import should_use_flat, should_use_multiprog
+    cfg = SimConfig(n_bodies=33_554_432, impl="pallas_sym2")
+    mesh = make_mesh(8)
+    assert should_use_flat(cfg, "pallas_sym2")          # 1 chip: flat
+    assert should_use_multiprog(cfg, "pallas_sym2", n_devices=8)
+    plan = _ShardedBoundedForces(cfg, mesh, "pallas_sym2", cap=1.2e13)
+    assert plan.c == 33_554_432 // 8                    # (C, 3) shards
+    assert plan.total_programs > 1                      # bounded split
+    # Explicit flat + mesh is refused with the design rationale.
+    with pytest.raises(ValueError, match="unnecessary by design"):
+        Simulation(SimConfig(n_bodies=512, impl="pallas_sym",
+                             flat_state=True), mesh=mesh)
+
+
 def test_simulation_mesh_allgather_keeps_fused():
     """comm='allgather' has no bounded split: Simulation keeps the fused
     sharded path (and only warns if the cap actually binds)."""
