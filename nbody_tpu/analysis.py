@@ -173,16 +173,31 @@ def _potential_f64(pos: np.ndarray, mass: np.ndarray, eps2: float,
 
 
 def analyze_trajectory(path: str, n_bins: int = 32,
-                       fractions: Sequence[float] = (0.1, 0.5, 0.9)) -> dict:
+                       fractions: Sequence[float] = (0.1, 0.5, 0.9),
+                       eps2: Optional[float] = None,
+                       energy_max_n: int = 16384) -> dict:
     """Per-snapshot structure series from a saved trajectory NPZ.
 
     Returns a dict with ``steps`` (snapshot step numbers), ``com_drift``,
     ``lagrangian_radii`` (T, len(fractions)), and the first/last
     snapshots' pair correlation (``g_r_first`` / ``g_r_last`` with
     ``r_centers`` on a shared grid).
+
+    When the trajectory carries velocities (``nbody run --traj-vel`` /
+    ``run_trajectory(..., with_vel=True)``) it also returns the
+    integration-health and dynamical-state series positions alone cannot
+    carry: ``energy`` (total, f64), ``energy_drift``
+    (|E(t) - E(t0)| / |E(t0)| relative to the FIRST SNAPSHOT — snapshots
+    start at step ``snap_every``, not 0) and ``virial`` (Q = 2K/|W|).
+    ``eps2`` defaults to the trajectory's embedded config (falling back
+    to the ``constants.h`` default).  The potential sweep is O(N^2)
+    host f64 per snapshot, so the energy/virial series is skipped above
+    ``energy_max_n`` bodies with an ``energy_note`` saying so (device-
+    side bounded energy exists for huge states — ``models/energy.py`` —
+    but operates on live states, not host snapshot streams).
     """
-    from .io.checkpoint import load_trajectory
-    snaps, mass, snap_every = load_trajectory(path)
+    from .io.checkpoint import load_trajectory_full
+    snaps, vels, mass, snap_every, cfg = load_trajectory_full(path)
     if mass is None:   # legacy trajectory without masses: uniform weights
         mass = np.ones(snaps.shape[1], dtype=np.float64)
     else:
@@ -199,7 +214,7 @@ def analyze_trajectory(path: str, n_bins: int = 32,
     r_max = float(np.linalg.norm(first - c0, axis=1).max())
     r_centers, g_first = pair_correlation(first, n_bins, r_max=r_max)
     _, g_last = pair_correlation(last, n_bins, r_max=r_max)
-    return {
+    out = {
         "steps": [(k + 1) * snap_every for k in range(t)],
         "fractions": list(fractions),
         "com_drift": com_drift(snaps, mass).tolist(),
@@ -208,3 +223,32 @@ def analyze_trajectory(path: str, n_bins: int = 32,
         "g_r_first": g_first.tolist(),
         "g_r_last": g_last.tolist(),
     }
+    if vels is not None:
+        if eps2 is None:
+            if cfg is not None:
+                eps2 = cfg.eps2
+            else:
+                from .config import SimConfig
+                eps2 = SimConfig().eps2   # constants.h:19 default
+        n = snaps.shape[1]
+        if n <= energy_max_n:
+            energy, virial = [], []
+            for k in range(t):
+                p = np.asarray(snaps[k], dtype=np.float64)
+                v = np.asarray(vels[k], dtype=np.float64)
+                ke = 0.5 * float(np.sum(mass * np.sum(v * v, axis=-1)))
+                w = _potential_f64(p, mass, eps2)
+                energy.append(ke + w)
+                virial.append(2.0 * ke / abs(w) if w else float("inf"))
+            e0 = energy[0]
+            out["energy"] = energy
+            out["energy_drift"] = [abs(e - e0) / (abs(e0) or 1.0)
+                                   for e in energy]
+            out["virial"] = virial
+            out["eps2"] = float(eps2)
+        else:
+            out["energy_note"] = (
+                f"N={n} > energy_max_n={energy_max_n}: the O(N^2) host-f64 "
+                f"potential sweep is skipped (pass a larger energy_max_n "
+                f"to force it)")
+    return out

@@ -235,11 +235,21 @@ def cmd_run(args) -> int:
                                   mass=np.asarray(sim.state.mass)) as tw:
                 for _ in range(args.steps // snap_every):
                     advance(snap_every)
-                    tw.append(np.asarray(sim.state.pos))
+                    tw.append(np.asarray(sim.state.pos),
+                              vel=(np.asarray(sim.state.vel)
+                                   if args.traj_vel else None))
                 rem = args.steps - (args.steps // snap_every) * snap_every
                 if rem:
                     advance(rem)
                 n_snaps = tw.n_snaps
+        elif args.traj_vel:
+            final, snaps, vsnaps = run_trajectory(
+                sim.state, cfg, args.steps, snap_every=snap_every,
+                impl=sim.impl, with_vel=True)
+            save_trajectory(args.save_trajectory, np.asarray(snaps),
+                            snap_every, cfg, mass=np.asarray(final.mass),
+                            vel_snapshots=np.asarray(vsnaps))
+            n_snaps = snaps.shape[0]
         else:
             final, snaps = run_trajectory(
                 sim.state, cfg, args.steps, snap_every=snap_every,
@@ -652,7 +662,8 @@ def cmd_render(args) -> int:
 
 def cmd_analyze(args) -> int:
     from .analysis import analyze_trajectory
-    res = analyze_trajectory(args.trajectory, n_bins=args.bins)
+    res = analyze_trajectory(args.trajectory, n_bins=args.bins,
+                             energy_max_n=args.energy_max_n)
     if args.json:
         print(json.dumps(res))
         return 0
@@ -660,13 +671,19 @@ def cmd_analyze(args) -> int:
     drift = res["com_drift"]
     lr = res["lagrangian_radii"]
     fracs = res["fractions"]
+    has_e = "energy" in res
     hdr = "  ".join(f"r{int(f * 100):02d}%" for f in fracs)
+    ehdr = f"  {'dE/E0':>10}  {'virial_Q':>9}" if has_e else ""
     print(f"== trajectory analysis: {args.trajectory} "
           f"({len(steps)} snapshots) ==")
-    print(f"{'step':>8}  {'com_drift':>12}  {hdr}")
+    print(f"{'step':>8}  {'com_drift':>12}  {hdr}{ehdr}")
     for k in range(len(steps)):
         radii = "  ".join(f"{r:11.4g}" for r in lr[k])
-        print(f"{steps[k]:>8}  {drift[k]:>12.4g}  {radii}")
+        erow = (f"  {res['energy_drift'][k]:>10.3e}"
+                f"  {res['virial'][k]:>9.4g}" if has_e else "")
+        print(f"{steps[k]:>8}  {drift[k]:>12.4g}  {radii}{erow}")
+    if "energy_note" in res:
+        print(f"[note] {res['energy_note']}")
     g0 = np.asarray(res["g_r_first"])
     g1 = np.asarray(res["g_r_last"])
     mid = slice(len(g0) // 8, len(g0) // 2)
@@ -725,6 +742,10 @@ def build_parser() -> argparse.ArgumentParser:
     runp.add_argument("--save-trajectory", default=None, metavar="NPZ",
                       help="capture position snapshots on device and save")
     runp.add_argument("--snap-every", type=int, default=1)
+    runp.add_argument("--traj-vel", action="store_true",
+                      help="also capture velocities in --save-trajectory "
+                           "(doubles snapshot size; unlocks the "
+                           "energy/virial series in `nbody analyze`)")
     runp.add_argument("--quiet", action="store_true")
     runp.set_defaults(fn=cmd_run)
 
@@ -831,6 +852,10 @@ def build_parser() -> argparse.ArgumentParser:
     anp.add_argument("--bins", type=int, default=32)
     anp.add_argument("--json", action="store_true",
                      help="emit the full series as one JSON object")
+    anp.add_argument("--energy-max-n", type=int, default=16384,
+                     help="skip the O(N^2) host-f64 energy/virial series "
+                          "above this many bodies (needs --traj-vel "
+                          "trajectories)")
     anp.set_defaults(fn=cmd_analyze)
     return ap
 

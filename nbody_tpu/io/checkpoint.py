@@ -122,16 +122,21 @@ def load_checkpoint_meta(path: str
 
 def save_trajectory(path: str, snapshots: np.ndarray,
                     snap_every: int, cfg: Optional[SimConfig] = None,
-                    mass: Optional[np.ndarray] = None) -> None:
+                    mass: Optional[np.ndarray] = None,
+                    vel_snapshots: Optional[np.ndarray] = None) -> None:
     """NPZ trajectory export (positions over time) — the persistent
     replacement for the reference's render-only output.
 
     ``mass`` must be persisted for faithful rendering: the reference's
     central visual semantic is the mass->color lerp
     (simulation_visualization.cpp:46-56), which needs per-body masses at
-    render time."""
+    render time.  ``vel_snapshots`` (optional, same (T, N, 3) shape)
+    makes the trajectory energy/virial-analyzable
+    (``analysis.analyze_trajectory``)."""
     payload = {"snapshots": np.asarray(snapshots),
                "snap_every": np.asarray(snap_every, dtype=np.int64)}
+    if vel_snapshots is not None:
+        payload["vel_snapshots"] = np.asarray(vel_snapshots)
     if mass is not None:
         payload["mass"] = np.asarray(mass)
     if cfg is not None:
@@ -173,10 +178,15 @@ class TrajectoryWriter:
         with self._zf.open(name + ".npy", "w", force_zip64=True) as f:
             np.lib.format.write_array(f, np.ascontiguousarray(arr))
 
-    def append(self, pos) -> None:
+    def append(self, pos, vel=None) -> None:
         """Append one position snapshot ((N,3) or flat (3N,); device or
-        host).  Flat snapshots reshape host-side."""
+        host).  Flat snapshots reshape host-side.  ``vel`` (same layout)
+        is stored alongside when given — every snapshot of one trajectory
+        must be appended consistently (all with vel or none; the loader
+        treats a count mismatch as position-only)."""
         self._write_entry(f"snap_{self.n_snaps:06d}", _host_n3(pos))
+        if vel is not None:
+            self._write_entry(f"vel_{self.n_snaps:06d}", _host_n3(vel))
         self.n_snaps += 1
 
     def close(self) -> None:
@@ -231,12 +241,15 @@ class TrajectoryWriter:
 class LazySnapshots:
     """Sequence view over a streamed trajectory NPZ: snapshots load from
     the zip ONE AT A TIME (O(one snapshot) host memory), with the same
-    iteration/indexing surface consumers use on the (T, N, 3) array."""
+    iteration/indexing surface consumers use on the (T, N, 3) array.
+    ``prefix`` selects the entry family (``snap_`` positions /
+    ``vel_`` velocities)."""
 
-    def __init__(self, npz, n_snaps: int):
+    def __init__(self, npz, n_snaps: int, prefix: str = "snap_"):
         self._z = npz
         self._n = n_snaps
-        self.shape = ((n_snaps,) + tuple(npz["snap_000000"].shape)
+        self._prefix = prefix
+        self.shape = ((n_snaps,) + tuple(npz[f"{prefix}000000"].shape)
                       if n_snaps else (0, 0, 3))
 
     def __len__(self) -> int:
@@ -245,7 +258,7 @@ class LazySnapshots:
     def __getitem__(self, k: int) -> np.ndarray:
         if not -self._n <= k < self._n:
             raise IndexError(k)
-        return self._z[f"snap_{k % self._n:06d}"]
+        return self._z[f"{self._prefix}{k % self._n:06d}"]
 
     def __iter__(self):
         for k in range(self._n):
@@ -259,20 +272,43 @@ def load_trajectory(path: str):
     eagerly; streamed per-snapshot entries (``TrajectoryWriter``) return a
     ``LazySnapshots`` view.  Caller owns closing nothing — the underlying
     zip handle lives until the returned view is garbage-collected."""
+    snaps, _, mass, snap_every, _ = load_trajectory_full(path)
+    return snaps, mass, snap_every
+
+
+def load_trajectory_full(path: str):
+    """Load a trajectory NPZ with every stored stream ->
+    ``(snapshots, vel_snapshots-or-None, mass-or-None, snap_every,
+    cfg-or-None)``.
+
+    The superset of ``load_trajectory`` for consumers that use the
+    optional velocity stream and the embedded config (the analysis CLI
+    needs ``cfg.eps2`` for potential-energy/virial diagnostics).  Both
+    layouts, same laziness contract as ``load_trajectory``."""
     z = np.load(path)
     mass = z["mass"] if "mass" in z.files else None
     snap_every = (int(np.ravel(z["snap_every"])[0])
                   if "snap_every" in z.files else 1)
+    cfg = None
+    if "config_json" in z.files:
+        try:
+            cfg = SimConfig(**json.loads(bytes(z["config_json"]).decode()))
+        except (TypeError, ValueError):
+            cfg = None   # config written by a different version: ignore
     if "snapshots" in z.files:
         snaps = z["snapshots"]
+        vel = z["vel_snapshots"] if "vel_snapshots" in z.files else None
         z.close()   # eager layout: nothing lazy holds the zip open
-        return snaps, mass, snap_every
+        return snaps, vel, mass, snap_every, cfg
     # Fallback count must match only snap_NNNNNN entries — a bare
     # startswith("snap_") would also count the "snap_every" metadata.
     n = (int(np.ravel(z["n_snaps"])[0]) if "n_snaps" in z.files
          else sum(1 for f in z.files
                   if f.startswith("snap_") and f[5:].isdigit()))
-    return LazySnapshots(z, n), mass, snap_every
+    n_vel = sum(1 for f in z.files
+                if f.startswith("vel_") and f[4:].isdigit())
+    vel = LazySnapshots(z, n, prefix="vel_") if n_vel == n and n else None
+    return LazySnapshots(z, n), vel, mass, snap_every, cfg
 
 
 # --- Orbax adapter (optional; orbax-checkpoint is in the base image) -------

@@ -145,27 +145,36 @@ def run_steps(state: SimState, cfg: SimConfig, n_steps: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "snap_every", "impl"))
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "snap_every", "impl", "with_vel"))
 def run_trajectory(
         state: SimState, cfg: SimConfig, n_steps: int,
-        snap_every: int = 1,
-        impl: "str | None" = None) -> Tuple[SimState, jax.Array]:
+        snap_every: int = 1, impl: "str | None" = None,
+        with_vel: bool = False) -> Tuple[SimState, jax.Array]:
     """Run n_steps, capturing positions every ``snap_every`` steps on-device.
 
     Returns (final_state, snapshots (n_steps//snap_every, N, 3)).  If
     snap_every does not divide n_steps, the remainder steps still run after
     the last snapshot (the final state reflects all n_steps).
+
+    ``with_vel=True`` additionally captures velocities (doubling the
+    snapshot transfer) and returns ``(final_state, snapshots,
+    vel_snapshots)`` — this is what gives saved trajectories an energy /
+    virial story (``analysis.analyze_trajectory``), which positions alone
+    cannot carry.
     """
     def outer(s, _):
         s = jax.lax.fori_loop(
             0, snap_every, lambda _, st: step(st, cfg, impl=impl), s)
-        return s, s.pos
+        return s, ((s.pos, s.vel) if with_vel else s.pos)
     n_snaps = n_steps // snap_every
     final, snaps = jax.lax.scan(outer, state, None, length=n_snaps)
     rem = n_steps - n_snaps * snap_every
     if rem:
         final = jax.lax.fori_loop(
             0, rem, lambda _, st: step(st, cfg, impl=impl), final)
+    if with_vel:
+        return (final,) + snaps
     return final, snaps
 
 

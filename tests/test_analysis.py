@@ -153,3 +153,71 @@ def test_angular_momentum_exactly_conserved():
             assert rel < 1e-10, (integ, rel, l0, l1)
     finally:
         jax.config.update("jax_enable_x64", old)
+
+
+def test_analyze_energy_virial_series(tmp_path):
+    """Velocity-carrying trajectories unlock the energy/virial series;
+    each entry must equal the direct f64 computation on that snapshot
+    (virial_ratio / KE + W), and a static snapshot pair has zero drift."""
+    from nbody_tpu.analysis import _potential_f64
+    from nbody_tpu.io.checkpoint import save_trajectory
+    from nbody_tpu.config import SimConfig
+    n, eps2 = 128, 0.5
+    rng = np.random.default_rng(9)
+    base = uniform_sphere(n, radius=3.0, seed=9).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    mass = rng.uniform(1.0, 2.0, n).astype(np.float32)
+    snaps = np.stack([base, base * 0.95])
+    vels = np.stack([vel, vel * 1.1])
+    path = str(tmp_path / "tv.npz")
+    save_trajectory(path, snaps, snap_every=3, mass=mass,
+                    cfg=SimConfig(n_bodies=n, eps2=eps2),
+                    vel_snapshots=vels)
+    res = analyze_trajectory(path, n_bins=8)
+    assert res["eps2"] == eps2   # embedded config wins
+    for k in range(2):
+        p64 = snaps[k].astype(np.float64)
+        v64 = vels[k].astype(np.float64)
+        m64 = mass.astype(np.float64)
+        ke = 0.5 * float(np.sum(m64 * np.sum(v64 * v64, axis=-1)))
+        w = _potential_f64(p64, m64, eps2)
+        np.testing.assert_allclose(res["energy"][k], ke + w, rtol=1e-12)
+        np.testing.assert_allclose(res["virial"][k],
+                                   virial_ratio(p64, v64, m64, eps2),
+                                   rtol=1e-12)
+    assert res["energy_drift"][0] == 0.0
+
+    # Static pair -> drift exactly 0 at both snapshots.
+    save_trajectory(path, np.stack([base, base]), snap_every=1, mass=mass,
+                    vel_snapshots=np.stack([vel, vel]))
+    res2 = analyze_trajectory(path, n_bins=8)
+    assert res2["energy_drift"] == [0.0, 0.0]
+
+    # Above the cap: series skipped with a note (not an O(N^2) stall).
+    res3 = analyze_trajectory(path, n_bins=8, energy_max_n=64)
+    assert "energy" not in res3 and "N=128" in res3["energy_note"]
+
+
+def test_run_traj_vel_analyze_cli(tmp_path, capsys):
+    """End-to-end product surface: `nbody run --traj-vel` (fused AND
+    streamed capture branches) -> `nbody analyze` prints the dE/E0 and
+    virial columns; leapfrog at small dt keeps |dE/E0| small."""
+    from nbody_tpu.cli import main
+    import json as _json
+    # 6 steps at N=64 = 24,576 whole-run interactions; a 1e4 cap forces
+    # the streamed TrajectoryWriter branch (whole_run > cap).
+    for extra, name in (([], "fused.npz"),
+                        (["--prog-cap", "1e4"], "streamed.npz")):
+        path = str(tmp_path / name)
+        rc = main(["run", "--n", "64", "--steps", "6", "--impl", "xla_nxn",
+                   "--dt", "0.001", "--snap-every", "2", "--quiet",
+                   "--save-trajectory", path, "--traj-vel"] + extra)
+        assert rc == 0
+        capsys.readouterr()
+        assert main(["analyze", path, "--json"]) == 0
+        res = _json.loads(capsys.readouterr().out)
+        assert len(res["energy"]) == 3 and len(res["virial"]) == 3
+        assert max(res["energy_drift"]) < 1e-2
+        assert main(["analyze", path]) == 0
+        out = capsys.readouterr().out
+        assert "dE/E0" in out and "virial_Q" in out

@@ -102,3 +102,44 @@ def test_checkpoint_meta_reads_header_only(tmp_path, monkeypatch):
     step, got_cfg, n = load_checkpoint_meta(p)
     assert (step, n) == (7, 4096)
     assert got_cfg is not None and got_cfg.n_bodies == 4096
+
+
+def test_trajectory_vel_roundtrip_both_layouts(tmp_path):
+    """The optional velocity stream round-trips in BOTH layouts (monolithic
+    save_trajectory and the streamed TrajectoryWriter), and a position-only
+    trajectory loads with vel=None through the full loader."""
+    from nbody_tpu.io.checkpoint import (
+        TrajectoryWriter, load_trajectory, load_trajectory_full)
+    rng = np.random.default_rng(1)
+    snaps = rng.normal(size=(3, 16, 3)).astype(np.float32)
+    vels = rng.normal(size=(3, 16, 3)).astype(np.float32)
+    mass = np.ones(16, np.float32)
+    cfg = SimConfig(n_bodies=16, eps2=0.25)
+
+    p1 = str(tmp_path / "mono.npz")
+    save_trajectory(p1, snaps, snap_every=2, cfg=cfg, mass=mass,
+                    vel_snapshots=vels)
+    s, v, m, every, c = load_trajectory_full(p1)
+    np.testing.assert_array_equal(np.asarray(v), vels)
+    np.testing.assert_array_equal(np.asarray(s), snaps)
+    assert every == 2 and c.eps2 == 0.25
+
+    p2 = str(tmp_path / "stream.npz")
+    with TrajectoryWriter(p2, snap_every=2, cfg=cfg, mass=mass) as tw:
+        for k in range(3):
+            tw.append(snaps[k], vel=vels[k])
+    s, v, m, every, c = load_trajectory_full(p2)
+    assert len(v) == 3
+    np.testing.assert_array_equal(np.stack(list(v)), vels)
+    np.testing.assert_array_equal(np.stack(list(s)), snaps)
+    assert c.eps2 == 0.25
+    # The 3-tuple loader stays position-only (render path unchanged).
+    s3, m3, every3 = load_trajectory(p2)
+    assert len(s3) == 3 and every3 == 2
+
+    p3 = str(tmp_path / "posonly.npz")
+    with TrajectoryWriter(p3, snap_every=1, mass=mass) as tw:
+        for k in range(2):
+            tw.append(snaps[k])
+    s, v, m, every, c = load_trajectory_full(p3)
+    assert v is None and len(s) == 2

@@ -112,3 +112,24 @@ def test_init_state_ranges():
     # deterministic via unseeded rand(); ours is deliberately so).
     s2 = init_state(cfg)
     np.testing.assert_array_equal(pos, np.asarray(s2.pos))
+
+
+def test_trajectory_capture_with_vel():
+    """with_vel=True returns (final, pos_snaps, vel_snaps); both streams
+    bit-match the states run_steps reaches at the same step counts."""
+    n = 96
+    state, *_ = make_state(n, seed=9)
+    cfg = SimConfig(n_bodies=n, impl="xla_nxn")
+    final, snaps, vsnaps = run_trajectory(
+        state, cfg, n_steps=6, snap_every=2, with_vel=True)
+    assert snaps.shape == vsnaps.shape == (3, n, 3)
+    np.testing.assert_array_equal(np.asarray(snaps[-1]),
+                                  np.asarray(final.pos))
+    np.testing.assert_array_equal(np.asarray(vsnaps[-1]),
+                                  np.asarray(final.vel))
+    for k, steps in enumerate((2, 4, 6)):
+        ref = run_steps(state, cfg, steps)
+        np.testing.assert_array_equal(np.asarray(snaps[k]),
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(vsnaps[k]),
+                                      np.asarray(ref.vel))
