@@ -468,10 +468,16 @@ def cmd_validate(args) -> int:
             done += chunk
         # The oracle twin prefers the native f64 build for this phase
         # (~6 min at N=8192 on one core vs ~30 for numpy); yoshida4 has
-        # only the numpy twin.
+        # only the numpy twin, and an EXPLICIT `--oracle numpy` is
+        # honored here too — a user cross-checking a suspect native
+        # build must not have the long-horizon gates silently validated
+        # against the implementation they opted out of (review r4).
         from .oracle.native import available as _native_ok
         from .oracle.native import native_run
-        if cfg.integrator != "yoshida4" and _native_ok():
+        explicit_numpy = (args.oracle == "numpy"
+                          and "oracle" in getattr(args, "_explicit", set()))
+        if (cfg.integrator != "yoshida4" and _native_ok()
+                and not explicit_numpy):
             lpos, lvel, lacc = native_run(pos0, vel0, mass, cfg.eps2,
                                           cfg.dt, ls, dtype=np.float64,
                                           integrator=cfg.integrator)
@@ -771,9 +777,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "10, N=8192 on the real chip, with pos/vel at "
                          "exactly 0; the reference never enforces any of "
                          "its three comparisons, validation.cpp:142-165)")
-    vp.add_argument("--oracle", default="numpy", choices=["numpy", "native"],
+    vp.add_argument("--oracle", default="numpy", action=_TrackedStore,
+                    choices=["numpy", "native"],
                     help="numpy (vectorized) or native (C++/OpenMP, the "
-                         "reference validation.cpp analog)")
+                         "reference validation.cpp analog); the long-"
+                         "horizon phase auto-prefers native for speed "
+                         "unless numpy is EXPLICITLY requested")
     vp.add_argument("--oracle-f32", action="store_true",
                     help="run the oracle in float32 (exactly the reference's "
                          "CPU_compute precision) instead of float64")

@@ -291,10 +291,13 @@ def load_trajectory_full(path: str):
                   if "snap_every" in z.files else 1)
     cfg = None
     if "config_json" in z.files:
-        try:
-            cfg = SimConfig(**json.loads(bytes(z["config_json"]).decode()))
-        except (TypeError, ValueError):
-            cfg = None   # config written by a different version: ignore
+        # Filter to known fields (same cross-version tolerance as
+        # load_checkpoint above): a trajectory written by a SimConfig
+        # with an extra field must not silently lose its eps2 — the
+        # analysis energy series would quietly use the default softening.
+        raw = json.loads(bytes(z["config_json"]).decode())
+        known = {f.name for f in dataclasses.fields(SimConfig)}
+        cfg = SimConfig(**{k: v for k, v in raw.items() if k in known})
     if "snapshots" in z.files:
         snaps = z["snapshots"]
         vel = z["vel_snapshots"] if "vel_snapshots" in z.files else None

@@ -244,7 +244,18 @@ class Simulation:
             _pp = (_ProgressHeartbeat(self.logger)
                    if self._use_multiprog and not self.logger.quiet
                    else None)
-            if self._flat:
+            if mesh is not None:
+                # Mesh runs must prime ON the mesh: the single-device
+                # prime_kdk would gather the (born-sharded) state to one
+                # chip and run a full single-chip N² eval — at flat-mode
+                # N exactly the (N,3) wall / over-long program the mesh
+                # design avoids (review r4).  prime_kdk_sharded routes
+                # through the bounded dispatcher when _run_chunk would.
+                from ..parallel.ring import prime_kdk_sharded
+                self.state = prime_kdk_sharded(
+                    self.state, cfg, mesh, impl=self.impl, comm=comm,
+                    progress=_pp)
+            elif self._flat:
                 from ..ops.step import prime_kdk_flat
                 self.state = prime_kdk_flat(self.state, cfg,
                                             impl=self.impl, progress=_pp)

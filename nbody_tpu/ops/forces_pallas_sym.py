@@ -906,6 +906,31 @@ def resolve_block_u(block_u: "int | None", n: int,
     return 1536 if n >= (512 << 10) else 1024
 
 
+def default_panel_nb(block_u: int) -> int:
+    """Default panel block budget: a panel's resident scatter buffer /
+    streamed operands (32 B/body) fit a ~4 MiB VMEM slice.  The ONE
+    definition every dispatcher shares (self sweeps, rect sweeps, flat
+    mode, and the sharded bounded dispatcher `parallel/multiprog.py`) —
+    the mesh path's bit-equality with the fused path depends on both
+    sides splitting at identical panel boundaries, so this constant must
+    not fork (review r4)."""
+    return max(1, (4 * 1024 * 1024) // (32 * block_u))
+
+
+def _rect_panel_layout(c: int, block_u: int, panel_nb: "int | None"):
+    """Visiting-side decomposition of a rect sweep -> (nb_b, panels):
+    ceil-split the needed blocks into equal panels of at most
+    ``panel_nb`` blocks.  Shared by ``rect_forces_sym`` and the sharded
+    bounded dispatcher (same boundary contract as ``default_panel_nb``)."""
+    if panel_nb is None:
+        panel_nb = default_panel_nb(block_u)
+    nb_needed = -(-c // block_u)
+    if nb_needed <= panel_nb:
+        return nb_needed, 1
+    panels = -(-nb_needed // panel_nb)
+    return -(-nb_needed // panels), panels
+
+
 def _panel_layout(n, block_u, max_nb):
     """Choose (nb_per_panel, n_panels): nb ODD (the circular sweep's
     no-duplicate condition), panels equal-sized and BALANCED, total >= n.
@@ -1078,14 +1103,7 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
     block_u = resolve_block_u(block_u, nb_real, variant)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if panel_nb is None:
-        panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
-    nb_needed = -(-nb_real // block_u)
-    if nb_needed <= panel_nb:
-        nb_b, panels = nb_needed, 1
-    else:
-        panels = -(-nb_needed // panel_nb)
-        nb_b = -(-nb_needed // panels)
+    nb_b, panels = _rect_panel_layout(nb_real, block_u, panel_nb)
     _validate_sym_blocks(block_i, block_u, nb_b, schedule)
     na_pad = round_up(na, block_i)
     nb_pad = panels * nb_b * block_u
@@ -1262,7 +1280,7 @@ def forces_pallas_sym_chunked_flat(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if panel_nb is None:
-        panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
+        panel_nb = default_panel_nb(block_u)
     nb, panels = _panel_layout(n, block_u, panel_nb)
     _validate_sym_blocks(block_i, block_u, nb, schedule)
     n_pad = panels * nb * block_u
@@ -1343,8 +1361,7 @@ def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if panel_nb is None:
-        # Default resident-buffer cap: nb * 32B/body * U <= ~4 MB.
-        panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
+        panel_nb = default_panel_nb(block_u)
     nb, panels = _panel_layout(n, block_u, panel_nb)
     _validate_sym_blocks(block_i, block_u, nb, schedule)
     n_pad = panels * nb * block_u

@@ -54,27 +54,21 @@ from ..models.integrators import KDK_WEIGHTS
 from ..models.state import SimState, pad_state_to, round_up, unpad_state
 from ..ops.forces_pallas_sym import (DEFAULT_PROG_CAP, _inv_mass_scale,
                                      _panel_layout, _rect_call,
+                                     _rect_panel_layout,
                                      _sym_pair_batch_prog,
                                      _sym_self_batch_prog, _unscatter,
-                                     _validate_sym_blocks, resolve_block_u,
-                                     resolve_schedule)
+                                     _validate_sym_blocks, default_panel_nb,
+                                     resolve_block_u, resolve_schedule)
 from .mesh import SHARD_AXIS
 from .ring import (_RECT_VARIANTS, _SYM_VARIANTS, _resolve_local_impl,
                    shard_padding)
 
 
-def _rect_layout(c: int, block_u: int, panel_nb: "int | None"):
-    """Visiting-side decomposition of one rotation's rect sweep —
-    identical to ``rect_forces_sym``'s (forces_pallas_sym.py:1081-1088)
-    so the bounded split happens exactly at the fused path's own
-    accumulation boundaries."""
-    if panel_nb is None:
-        panel_nb = max(1, (4 * 1024 * 1024) // (32 * block_u))
-    nb_needed = -(-c // block_u)
-    if nb_needed <= panel_nb:
-        return nb_needed, 1
-    panels = -(-nb_needed // panel_nb)
-    return -(-nb_needed // panels), panels
+# One rotation's rect sweep decomposes with rect_forces_sym's OWN layout
+# helper (forces_pallas_sym._rect_panel_layout) so the bounded split
+# happens exactly at the fused path's accumulation boundaries — the
+# bit-equality contract forbids a forked copy of the formula (review r4).
+_rect_layout = _rect_panel_layout
 
 
 @functools.lru_cache(maxsize=16)
@@ -253,8 +247,7 @@ class _ShardedBoundedForces:
         self.cap = cap
         block_u = resolve_block_u(cfg.block_u, c, variant)
         schedule = resolve_schedule(None, variant)
-        panel_nb_self = cfg.panel_nb or max(
-            1, (4 * 1024 * 1024) // (32 * block_u))
+        panel_nb_self = cfg.panel_nb or default_panel_nb(block_u)
         nb_self, panels_self = _panel_layout(c, block_u, panel_nb_self)
         _validate_sym_blocks(cfg.block_i, block_u, nb_self, schedule)
         nb_b, panels_b = _rect_layout(c, block_u, cfg.panel_nb)
@@ -382,6 +375,30 @@ class _ShardedBoundedForces:
         return progs["ret_odd"](acc_i, rot_aa, acc_t)
 
 
+def prime_kdk_sharded_multiprog(
+        state: SimState, cfg: SimConfig, mesh: Mesh,
+        impl: Optional[str] = None,
+        max_prog_interactions: "float | None" = None,
+        progress=None, axis: str = SHARD_AXIS) -> SimState:
+    """Seed ``state.acc = a(x_0)`` through the bounded mesh dispatcher —
+    ONE force evaluation split into per-chip bounded programs (the
+    priming analog of ``run_steps_sharded_multiprog``; a fused priming
+    eval at mesh-multiprog N is exactly the over-long program the cap
+    exists to avoid)."""
+    local_impl = _resolve_local_impl(impl, sym_default=True)
+    cap = max_prog_interactions or cfg.prog_cap or DEFAULT_PROG_CAP
+    forces = _ShardedBoundedForces(cfg, mesh, local_impl, cap, axis=axis)
+    n_real = state.n
+    state = pad_state_to(state, shard_padding(cfg, mesh.shape[axis]))
+    sharding = NamedSharding(mesh, P(axis))
+    pos = jax.device_put(state.pos, sharding)
+    mass = jax.device_put(state.mass, sharding)
+    zeros3 = jax.device_put(jnp.zeros_like(state.pos), sharding)
+    acc = forces(pos, mass, zeros3, progress=progress)
+    out = state._replace(pos=pos, mass=mass, acc=acc)
+    return unpad_state(out, n_real)
+
+
 def run_steps_sharded_multiprog(
         state: SimState, cfg: SimConfig, mesh: Mesh, n_steps: int,
         impl: Optional[str] = None, comm: str = "ring",
@@ -401,7 +418,7 @@ def run_steps_sharded_multiprog(
             f"bounded-program mesh dispatch rides the N3L ring "
             f"(comm='ring'); got comm={comm!r} — allgather/rdma sweeps "
             f"have no bounded split")
-    local_impl = _resolve_local_impl(impl)
+    local_impl = _resolve_local_impl(impl, sym_default=True)
     cap = max_prog_interactions or cfg.prog_cap or DEFAULT_PROG_CAP
     forces = _ShardedBoundedForces(cfg, mesh, local_impl, cap, axis=axis)
 

@@ -69,9 +69,19 @@ def _local_rect_forces(pos_i, pos_j, mass_j, cfg: SimConfig, impl: str,
     return rect_forces(pos_i, pos_j, mass_j, cfg.eps2, chunk=cfg.chunk)
 
 
-def _resolve_local_impl(impl: Optional[str]) -> str:
+def _resolve_local_impl(impl: Optional[str], sym_default: bool = False
+                        ) -> str:
+    """Resolve None/'auto' for the sharded entry points.
+
+    ``sym_default``: the caller only accepts the pair-symmetric ladder
+    (the bounded mesh dispatcher) or prefers it (the fused RDMA ring,
+    whose kernels run in interpret mode off-TPU) — resolve to the
+    production exact tier instead of the one-sided/XLA local default,
+    which those paths would reject (review r4)."""
     if impl is not None and impl != "auto":
         return impl
+    if sym_default:
+        return "pallas_sym2"
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
@@ -184,20 +194,26 @@ def allgather_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
                               self_tile=False)
 
 
+def _local_force_fn(impl: str, comm: str):
+    """Pick the per-shard force sweep for a (impl, comm) pair — the ONE
+    routing rule every sharded surface (step loop, frame loop, KDK
+    priming) shares."""
+    if comm == "rdma":
+        from .rdma_ring import rdma_forces_local
+        return rdma_forces_local
+    if comm == "ring" and impl in _SYM_VARIANTS:
+        return ring_forces_local_sym
+    if comm == "ring":
+        return ring_forces_local
+    return allgather_forces_local
+
+
 def _one_step_local(mass_l, cfg: SimConfig, impl: str, comm: str,
                     axis: str):
     """Build the per-shard single-step update ``(pos, vel, acc) ->
     (pos, vel, acc)`` for the configured comm tier + integrator — shared
     by the plain run loop and the in-loop frame loop."""
-    if comm == "rdma":
-        from .rdma_ring import rdma_forces_local
-        force = rdma_forces_local
-    elif comm == "ring" and impl in _SYM_VARIANTS:
-        force = ring_forces_local_sym
-    elif comm == "ring":
-        force = ring_forces_local
-    else:
-        force = allgather_forces_local
+    force = _local_force_fn(impl, comm)
 
     weights = KDK_WEIGHTS.get(cfg.integrator)
     if weights is not None:
@@ -251,21 +267,22 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     if comm not in ("ring", "allgather", "rdma"):
         raise ValueError(
             f"comm must be 'ring', 'allgather', or 'rdma', got {comm!r}")
+    local_impl = _resolve_local_impl(impl, sym_default=comm == "rdma")
     if comm == "rdma":
         # v2 accepts the full sym ladder (cross-chip N3L) and the
-        # one-sided exact/turbo family; anything else fails loudly in
-        # rdma_forces_local rather than silently swapping accuracy class.
+        # one-sided exact/turbo family; an EXPLICIT other impl fails
+        # loudly here rather than silently swapping accuracy class
+        # (None/'auto' resolves to the sym2 exact tier above).
         from .rdma_ring import _RDMA_ONE_SIDED
-        resolved = _resolve_local_impl(impl)
-        if resolved not in _SYM_VARIANTS and resolved not in _RDMA_ONE_SIDED:
+        if (local_impl not in _SYM_VARIANTS
+                and local_impl not in _RDMA_ONE_SIDED):
             raise ValueError(
                 f"comm='rdma' supports the pallas_sym* ladder and the "
                 f"one-sided {sorted(_RDMA_ONE_SIDED)} family, got "
-                f"{resolved!r}")
+                f"{local_impl!r}")
     n_real = state.n
     p = mesh.shape[axis]
     state = pad_state_to(state, shard_padding(cfg, p))
-    local_impl = _resolve_local_impl(impl)
 
     fn = functools.partial(
         _sharded_run_local, cfg=cfg, n_steps=n_steps, impl=local_impl,
@@ -283,6 +300,40 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     pos, vel, acc = sharded(state.pos, state.vel, state.acc, state.mass)
     out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
     return unpad_state(out, n_real)
+
+
+def prime_kdk_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
+                      impl: Optional[str] = None, comm: str = "ring",
+                      progress=None, axis: str = SHARD_AXIS) -> SimState:
+    """Seed ``state.acc = a(x_0)`` ON THE MESH — the sharded analog of
+    ``ops.step.prime_kdk``, which is mesh-unaware: priming a sharded run
+    through the single-device dispatcher gathers the (born-sharded) state
+    onto one chip and runs a full single-chip N² eval — at flat-mode N
+    that is exactly the (N,3) wall / over-long program the mesh design
+    exists to avoid (review r4).  Routes through the bounded mesh
+    dispatcher when one per-chip priming eval would exceed the program
+    cap, mirroring ``Simulation._run_chunk``'s step routing."""
+    from ..ops.step import should_use_multiprog
+    p = mesh.shape[axis]
+    local_impl = _resolve_local_impl(impl, sym_default=comm == "rdma")
+    if (comm == "ring" and local_impl in _SYM_VARIANTS
+            and should_use_multiprog(cfg, local_impl, n_devices=p)):
+        from .multiprog import prime_kdk_sharded_multiprog
+        return prime_kdk_sharded_multiprog(
+            state, cfg, mesh, impl=local_impl, progress=progress, axis=axis)
+    n_real = state.n
+    state = pad_state_to(state, shard_padding(cfg, p))
+
+    def prime_local(pos_l, mass_l):
+        return _local_force_fn(local_impl, comm)(
+            pos_l, mass_l, cfg, local_impl, axis)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            prime_local, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False))
+    acc = sharded(state.pos, state.mass)
+    return unpad_state(state._replace(acc=acc), n_real)
 
 
 def _sharded_frames_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
@@ -337,7 +388,7 @@ def run_trajectory_frames_sharded(
     n_real = state.n
     p = mesh.shape[axis]
     state = pad_state_to(state, shard_padding(cfg, p))
-    local_impl = _resolve_local_impl(impl)
+    local_impl = _resolve_local_impl(impl, sym_default=comm == "rdma")
     mv, cu, cv = view if view is not None else (cfg.max_view, 0.0, 0.0)
 
     fn = functools.partial(

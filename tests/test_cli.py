@@ -346,3 +346,34 @@ def test_bench_value_matches_ms_per_step(capsys):
     implied = n * n * steps / (rec["ms_per_step"] * steps / 1e3) / 1e9
     assert abs(implied - rec["value"]) / rec["value"] < 5e-3
     assert rec["ginter_min"] <= rec["value"] <= rec["ginter_max"]
+
+
+def test_validate_long_phase_honors_explicit_numpy_oracle(capsys, monkeypatch):
+    """An explicit `--oracle numpy` pins the LONG-HORIZON phase to the
+    numpy twin even when the native build is available — a user
+    cross-checking a suspect native build must not have the gates
+    silently validated against it (review r4).  Without the flag the
+    phase auto-prefers native (speed)."""
+    import numpy as np
+    import nbody_tpu.oracle.native as nat
+    from nbody_tpu.oracle.numpy_oracle import oracle_run
+
+    calls = []
+
+    def fake_native_run(pos0, vel0, mass, eps2, dt, steps,
+                        dtype=np.float64, integrator="reference"):
+        calls.append(steps)
+        return oracle_run(pos0, vel0, mass, eps2, dt, steps,
+                          dtype=dtype, integrator=integrator)
+
+    monkeypatch.setattr(nat, "available", lambda: True)
+    monkeypatch.setattr(nat, "native_run", fake_native_run)
+    base = ["validate", "--n", "64", "--steps", "5", "--impl", "xla_nxn",
+            "--dt", "0.01", "--long-steps", "8"]
+    main(base + ["--oracle", "numpy"])
+    out = capsys.readouterr().out
+    assert "vs numpy f64 oracle" in out
+    assert calls == []                       # native never touched
+    main(base)                               # default: prefers native
+    out = capsys.readouterr().out
+    assert "vs native f64 oracle" in out and calls == [8]

@@ -143,3 +143,25 @@ def test_trajectory_vel_roundtrip_both_layouts(tmp_path):
             tw.append(snaps[k])
     s, v, m, every, c = load_trajectory_full(p3)
     assert v is None and len(s) == 2
+
+
+def test_trajectory_cfg_cross_version_tolerant(tmp_path):
+    """A trajectory whose embedded config carries unknown fields (written
+    by a different SimConfig version) still yields its cfg — losing it
+    silently would make the analysis energy series use the DEFAULT eps2
+    (review r4).  Same known-field filter as load_checkpoint."""
+    import dataclasses
+    import json as _json
+    import zipfile
+    from nbody_tpu.io.checkpoint import load_trajectory_full
+    rng = np.random.default_rng(2)
+    snaps = rng.normal(size=(2, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "xv.npz")
+    raw = dataclasses.asdict(SimConfig(n_bodies=8, eps2=0.125))
+    raw["a_future_field"] = 42
+    np.savez(p, snapshots=snaps,
+             snap_every=np.asarray(1, np.int64),
+             config_json=np.frombuffer(_json.dumps(raw).encode(),
+                                       dtype=np.uint8))
+    s, v, m, every, cfg = load_trajectory_full(p)
+    assert cfg is not None and cfg.eps2 == 0.125

@@ -236,3 +236,42 @@ def test_simulation_mesh_allgather_keeps_fused():
     sim = Simulation(cfg, state=state, mesh=make_mesh(8), comm="allgather")
     assert not sim._use_multiprog
     sim.run(n_steps=1)
+
+
+def test_sharded_multiprog_auto_impl():
+    """impl=None/'auto' resolves to the sym2 exact tier (the only family
+    the bounded dispatcher serves) instead of raising on the one-sided
+    local default (review r4)."""
+    n = 512
+    state, pos, vel, mass = make_state(n, seed=40)
+    cfg = SimConfig(n_bodies=n, block_i=8, block_j=128, block_u=128,
+                    prog_cap=5e4)
+    mesh = make_mesh(4)
+    out = run_steps_sharded_multiprog(state, cfg, mesh, 2)   # impl=None
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 2)
+    assert_matches_oracle(np.asarray(out.pos), rpos,
+                          "pos(multiprog auto)", abs_tol=1.0)
+
+
+def test_prime_kdk_sharded_routes_through_bounded_dispatcher():
+    """A binding per-chip cap routes mesh KDK priming through the bounded
+    dispatcher (>=2 programs), and the primed acc matches the fused mesh
+    primer bit-for-bit (same accumulation order contract as the step
+    path)."""
+    from nbody_tpu.parallel.multiprog import prime_kdk_sharded_multiprog
+    from nbody_tpu.parallel.ring import prime_kdk_sharded
+    n = 512
+    state, *_ = make_state(n, seed=41)
+    mesh = make_mesh(4)
+    cfg_capped = SimConfig(n_bodies=n, impl="pallas_sym", block_i=8,
+                           block_j=128, block_u=128, integrator="kdk",
+                           prog_cap=5e4)
+    progs = []
+    bounded = prime_kdk_sharded(
+        state, cfg_capped, mesh, impl="pallas_sym",
+        progress=lambda done, total, acc: progs.append((done, total)))
+    assert progs and progs[-1][1] >= 2       # the cap split the eval
+    direct = prime_kdk_sharded_multiprog(state, cfg_capped, mesh,
+                                         impl="pallas_sym")
+    np.testing.assert_array_equal(np.asarray(bounded.acc),
+                                  np.asarray(direct.acc))

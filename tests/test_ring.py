@@ -220,3 +220,64 @@ def test_bad_comm_raises():
     mesh = make_mesh()
     with pytest.raises(ValueError, match="comm"):
         run_steps_sharded(state, cfg, mesh, 1, comm="bogus")
+
+
+def test_prime_kdk_sharded_matches_single_device():
+    """Mesh KDK priming (review r4): prime_kdk_sharded seeds a(x_0)
+    WITHOUT gathering the state to one device, and its acc matches the
+    single-device primer within the sharded association tolerance for
+    both sym (N3L ring) and one-sided force paths."""
+    from nbody_tpu.ops.step import prime_kdk
+    from nbody_tpu.parallel.ring import prime_kdk_sharded
+    n = 512
+    state, *_ = make_state(n, seed=27)
+    mesh = make_mesh()
+    for impl in ("xla", "pallas_sym", "pallas_sym2"):
+        cfg = SimConfig(n_bodies=n, impl=impl, chunk=64, block_i=8,
+                        block_j=128, block_u=128, integrator="kdk")
+        single = prime_kdk(state, cfg, impl=impl)
+        sharded = prime_kdk_sharded(state, cfg, mesh, impl=impl)
+        # Association differs (per-shard ring partials vs one fused
+        # sweep), so f32 agreement is ~1e-5 relative with a small
+        # absolute floor for near-cancelling components.
+        np.testing.assert_allclose(
+            np.asarray(sharded.acc), np.asarray(single.acc),
+            rtol=1e-4, atol=1e-3, err_msg=impl)
+        np.testing.assert_array_equal(np.asarray(sharded.pos),
+                                      np.asarray(state.pos))
+
+
+def test_simulation_mesh_kdk_primes_on_mesh(monkeypatch):
+    """Simulation(mesh=...) with a KDK-composed integrator must never
+    call the single-device primer (it would gather the born-sharded
+    state and run a one-chip N^2 eval; review r4)."""
+    import nbody_tpu.models.simulation as simmod
+    from nbody_tpu.models.simulation import Simulation
+
+    def _boom(*a, **k):
+        raise AssertionError("single-device prime_kdk used on a mesh run")
+
+    monkeypatch.setattr(simmod, "prime_kdk", _boom)
+    n = 512
+    state, pos, vel, mass = make_state(n, seed=28)
+    cfg = SimConfig(n_bodies=n, impl="xla", chunk=64,
+                    integrator="yoshida4")
+    sim = Simulation(cfg, state=state, mesh=make_mesh())
+    res = sim.run(n_steps=3, log_every=0)
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 3,
+                            integrator="yoshida4")
+    assert_matches_oracle(np.asarray(res.state.pos), rpos,
+                          "pos(mesh yoshida4)", abs_tol=1.0)
+
+
+def test_rdma_auto_impl_resolves_to_sym():
+    """comm='rdma' with impl=None/'auto' resolves to the sym2 exact tier
+    instead of rejecting the off-TPU local default (review r4)."""
+    n = 256
+    state, pos, vel, mass = make_state(n, seed=29)
+    cfg = SimConfig(n_bodies=n, block_i=8, block_j=128, block_u=128)
+    mesh = make_mesh(4)
+    out = run_steps_sharded(state, cfg, mesh, 2, comm="rdma")  # impl=None
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 2)
+    assert_matches_oracle(np.asarray(out.pos), rpos, "pos(rdma auto)",
+                          abs_tol=1.0)
