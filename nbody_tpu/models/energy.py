@@ -19,6 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Past this many bodies the exact host-f64 sweep is infeasible (O(N^2)
+# on one core); energy_f64 delegates to the bounded device path and
+# Simulation routes mesh runs to parallel/energy.py.
+MAX_HOST_ENERGY_N = 262144
+
+
 def kinetic_energy(vel, mass) -> jax.Array:
     v2 = jnp.sum(vel * vel, axis=-1)
     return 0.5 * jnp.sum(mass * v2)
@@ -238,7 +244,8 @@ def total_energy_bounded_flat(flat, eps2: float,
 _delegation_warned = False
 
 
-def energy_f64(state, eps2: float, max_host_n: int = 262144) -> float:
+def energy_f64(state, eps2: float,
+               max_host_n: int = MAX_HOST_ENERGY_N) -> float:
     """Float64 host-side total energy (the drift-gate measurement).
 
     Above ``max_host_n`` bodies the exact host-f64 sweep is infeasible

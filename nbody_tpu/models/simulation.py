@@ -322,6 +322,20 @@ class Simulation:
         sim.step_count = step_count
         return sim
 
+    def _total_energy(self) -> float:
+        """Total energy for ``track_energy``.  Host f64 below the host
+        wall; past it a MESH run computes on the mesh as bounded per-chip
+        programs (``parallel/energy.py`` — no gather, no single-chip N^2
+        program) while single-device runs take ``energy_f64``'s own
+        bounded delegation."""
+        from ..parallel import energy as _penergy
+        if (self.mesh is not None
+                and self.cfg.n_bodies > _penergy.MAX_HOST_ENERGY_N):
+            return _penergy.total_energy_sharded(
+                self.state, self.cfg.eps2, self.mesh,
+                progress=self.progress)
+        return energy_f64(self.state, self.cfg.eps2)
+
     def _run_chunk(self, n: int) -> None:
         if self.mesh is not None:
             if self._use_multiprog:
@@ -402,7 +416,7 @@ class Simulation:
                           "(the Morton pass needs (N, 3) arrays); skipping")
             sort_every = 0
 
-        e0 = energy_f64(self.state, cfg.eps2) if track_energy else None
+        e0 = self._total_energy() if track_energy else None
         # Flat mode sheds two services (VERDICT r3 weak #4: say WHAT the
         # routing tag costs, not just that it engaged): Morton sorting
         # (needs (N, 3) arrays) and in-loop batched frames (bounded-
@@ -679,7 +693,7 @@ class Simulation:
             # (a viewer-stop already checkpointed inside _poll_control).
             save_checkpoint(checkpoint_path, self.state, self.step_count, cfg)
 
-        e1 = energy_f64(self.state, cfg.eps2) if track_energy else None
+        e1 = self._total_energy() if track_energy else None
         if timer.total_steps:
             ms_per_step = timer.ms_per_step
             ginter = timer.ginter_per_s

@@ -102,3 +102,87 @@ def test_pe_pallas_matches_oracle():
     # docstring): ~3e-5 at this tiny N, ~3e-7 at the N >= 1M regime the
     # fast tier serves; both far inside the 1e-3-scale drift gates.
     assert abs(via_pallas - exact) / abs(exact) < 2e-4
+
+
+# ---- sharded energy (parallel/energy.py): track_energy on a mesh ----
+
+def _mesh_state(n, seed=70):
+    import jax.numpy as _jnp
+    pos, vel, mass = make_small_system(n, seed=seed)
+    return SimState(pos=_jnp.asarray(pos), vel=_jnp.asarray(vel),
+                    acc=_jnp.zeros((n, 3), _jnp.float32),
+                    mass=_jnp.asarray(mass))
+
+
+def test_total_energy_sharded_matches_host_all_parities():
+    """The mesh energy sweep (halved ring, mask-free pair math, f64 host
+    combination) matches the host-f64 oracle on odd, even, and
+    single-device meshes, in BOTH flavors (XLA local sweep; the Pallas
+    pair-potential kernel in interpret mode)."""
+    from nbody_tpu.parallel.energy import total_energy_sharded
+    from nbody_tpu.parallel.mesh import make_mesh
+    state = _mesh_state(300)
+    e_host = energy_f64(state, EPS2)
+    for p in (1, 2, 5, 8):
+        mesh = make_mesh(p)
+        # XLA flavor masks the diagonal in place: exact tier (~1e-8
+        # measured).  Pallas flavor is the mask-free kernel class
+        # (pe_pallas docstring): self/pair ratio ~ rsqrt(eps2)·d/N —
+        # ~4e-4 measured at this tiny N, ~3e-7 at the N >= 1M regime
+        # the fast tier serves.
+        for use_pallas, rtol in ((False, 1e-5), (True, 2e-3)):
+            e = total_energy_sharded(state, EPS2, mesh, block_i=8,
+                                     block_u=64, use_pallas=use_pallas)
+            np.testing.assert_allclose(e, e_host, rtol=rtol,
+                                       err_msg=f"p={p} pallas={use_pallas}")
+
+
+def test_total_energy_sharded_bounded_split():
+    """A tiny max_prog_pairs splits the sweep into many bounded programs
+    (progress sees them) without changing the result beyond f32
+    association noise."""
+    from nbody_tpu.parallel.energy import total_energy_sharded
+    from nbody_tpu.parallel.mesh import make_mesh
+    state = _mesh_state(300, seed=71)
+    mesh = make_mesh(4)
+    e1 = total_energy_sharded(state, EPS2, mesh, block_i=8, block_u=64,
+                              use_pallas=False)
+    calls = []
+    e2 = total_energy_sharded(state, EPS2, mesh, block_i=8, block_u=64,
+                              use_pallas=False, max_prog_pairs=2000,
+                              progress=lambda d, t, a: calls.append((d, t)))
+    assert calls and calls[-1][0] == calls[-1][1] >= 8
+    np.testing.assert_allclose(e2, e1, rtol=1e-6)
+
+
+def test_simulation_mesh_track_energy_routes_sharded(monkeypatch):
+    """Past the host wall, track_energy on a mesh run must compute on the
+    mesh (parallel/energy.py) — never gather to host f64 (the (N, 3)
+    wall at flat-mode N)."""
+    import nbody_tpu.models.simulation as simmod
+    import nbody_tpu.parallel.energy as penergy
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.parallel.mesh import make_mesh
+
+    def _boom(*a, **k):
+        raise AssertionError("host energy_f64 used past the wall on a mesh")
+
+    monkeypatch.setattr(simmod, "energy_f64", _boom)
+    monkeypatch.setattr(penergy, "MAX_HOST_ENERGY_N", 64)
+    sharded_calls = []
+    real = penergy.total_energy_sharded
+
+    def spy(state, eps2, mesh, **kw):
+        kw.setdefault("block_i", 8)
+        kw.setdefault("block_u", 64)
+        sharded_calls.append(state.n)
+        return real(state, eps2, mesh, **kw)
+
+    monkeypatch.setattr(penergy, "total_energy_sharded", spy)
+    n = 256
+    state = _mesh_state(n, seed=72)
+    cfg = SimConfig(n_bodies=n, impl="xla", chunk=64)
+    sim = Simulation(cfg, state=state, mesh=make_mesh(4))
+    res = sim.run(n_steps=2, log_every=0, track_energy=True)
+    assert sharded_calls == [n, n]
+    assert res.energy_drift is not None and res.energy_drift < 1e-3
