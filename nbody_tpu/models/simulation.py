@@ -144,6 +144,25 @@ class Simulation:
         self.mesh = mesh
         self.comm = comm
         self.impl = resolve_impl(cfg, sharded=mesh is not None)
+        if mesh is not None and comm == "rdma" and cfg.impl == "auto":
+            # resolve_impl is comm-unaware: its auto resolution can land
+            # on an impl the fused RDMA ring does not serve (xla_nxn off-
+            # TPU at small N; xla for non-f32 dtypes), and
+            # run_steps_sharded would then blame an impl the user never
+            # chose (review r4).  Re-resolve here: non-f32 is a genuine
+            # incompatibility (the in-kernel ring is f32 Pallas), the
+            # rest re-route to the sym2 exact tier.
+            from ..parallel.rdma_ring import _RDMA_ONE_SIDED
+            from ..parallel.ring import _SYM_VARIANTS
+            if (self.impl not in _SYM_VARIANTS
+                    and self.impl not in _RDMA_ONE_SIDED):
+                if cfg.dtype != "float32":
+                    raise ValueError(
+                        f"comm='rdma' rides float32 Pallas kernels; got "
+                        f"dtype={cfg.dtype!r} — use comm='ring' or "
+                        f"'allgather' (XLA local sweeps follow the state "
+                        f"dtype)")
+                self.impl = "pallas_sym2"
         # Flat (3N,) state layout above the (N, 3) tiled-copy wall (the
         # >16M-body SINGLE-CHIP mode; docs/PERF.md memory walls).  On a
         # mesh the wall applies to the PER-CHIP buffer, which is (N/P, 3)

@@ -87,7 +87,16 @@ def _energy_programs(mesh: Mesh, axis: str, c: int, eps2: float,
         return jnp.reshape(
             0.5 * jnp.sum(mass_l * jnp.sum(vel_l * vel_l, axis=-1)), (1,))
 
-    progs = {"ke": sm(ke_local, (S, S), S)}
+    def m2_local(mass_l):
+        # Per-shard sum(m^2) for the Pallas flavor's self-pair
+        # subtraction — reduced ON the mesh (gathering the mass array to
+        # host at the 33.5M design point would ship ~134 MB through the
+        # relay per probe).  XLA's tree reduction keeps the f32 partial
+        # at few-ulp error; shards combine in f64 on host — the same
+        # class as the kernel sums the self total corrects.
+        return jnp.reshape(jnp.sum(mass_l * mass_l), (1,))
+
+    progs = {"ke": sm(ke_local, (S, S), S), "m2": sm(m2_local, (S,), S)}
 
     if use_pallas:
         # The kernel consumes a materialized (3, c) transposed stream +
@@ -141,8 +150,13 @@ def _energy_programs(mesh: Mesh, axis: str, c: int, eps2: float,
                 # index, no global ids needed.  Per-row f32 carries
                 # (row sums stay at pair-term magnitude), f64 host
                 # combination outside.  Column-chunked to bound the
-                # temporary.
-                col = min(2048, pos_v.shape[0])
+                # temporary.  col must DIVIDE the shard size (the
+                # reshape below is exact); c is only guaranteed to be a
+                # multiple of block_u, so take the gcd (review r4: a
+                # non-default block_u with c > 2048, c % 2048 != 0
+                # crashed the reshape).
+                import math
+                col = math.gcd(pos_v.shape[0], 2048)
                 i_ids = off + jax.lax.broadcasted_iota(
                     jnp.int32, (rows, 1), 0)
 
@@ -233,9 +247,9 @@ def total_energy_sharded(state, eps2: float, mesh: Mesh,
                 progress(done, total, None)
         pe += w * part
     if use_pallas:
-        # The kernel is mask-free: subtract the self-pair total in f64
-        # (the pe_pallas accuracy-class contract); the XLA flavor masked
-        # its diagonal in place and has nothing to subtract.
-        m64 = np.asarray(state.mass, dtype=np.float64)
-        pe -= float(np.sum(m64 * m64)) / float(eps2) ** 0.5
+        # The kernel is mask-free: subtract the self-pair total (the
+        # pe_pallas accuracy-class contract) — per-shard partials
+        # reduced on the mesh, combined in f64 on host (no mass gather).
+        m2 = float(np.asarray(progs["m2"](mass), dtype=np.float64).sum())
+        pe -= m2 / float(eps2) ** 0.5
     return ke - 0.5 * pe

@@ -72,10 +72,16 @@ eps2, inv = rsqrt(d2^3), no i != j guard.  Cannot be performance-
 measured on this relay (1 real chip); correctness is oracle-gated on
 8/5/4/3/2/1-device interpret-mode CPU meshes (tests/test_rdma_ring.py),
 the driver's ``dryrun_multichip`` runs it end-to-end, and the P=1 branch
-is compile-spot-checked on the real chip (interpret mode does NOT catch
-the platform bug or Mosaic lowering rejections; the P>1 Mosaic lowering
-additionally requires the collective barrier prologue — that is what the
-real-chip check of v1 surfaced, kept here).
+COMPILED AND RAN oracle-exact on the real chip (round 4; mismatch frac 0
+at the 1% gate for vpu / vpu2 / turbo).  That spot-check is what shaped
+the buffer design — interpret mode accepts four spellings real Mosaic
+rejects: ANY/HBM-space *scratch* (workspace outputs instead), sub-tile
+SUBLANE memref slices in HBM or VMEM (row splits on loaded values only),
+narrow-lane VMEM scratch like (BI, 3) / (U, 3) (everything lives wide
+and transposed in-kernel), and sub-8-row HBM DMA targets (the own
+payload arrives pre-packed as wide plain f32 rows).  The P>1 lowering
+(collective barrier prologue + cross-chip DMA) remains hardware-gated:
+the relay's AOT compiler is single-chip.
 """
 
 from __future__ import annotations
@@ -283,11 +289,11 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
         d_final = half if p % 2 else p // 2
         two_sided_phases = half
 
-    def kernel(pos_ref, posT_ref, mass_row_ref, mass_col_ref,
-               acc_ref, trav_ref,
-               comm_ref, xi_buf, mcol_buf, jt_buf, acc_buf, tacc_buf,
-               ack_buf, copy_sem, send_sem, recv_sem, ack_send_sem,
-               ack_recv_sem, ret_send_sem, ret_recv_sem):
+    def kernel(own_ref,
+               accT_ref, trav_ref, data_ref, ctrav_ref,
+               xi8_buf, jt_buf, at4_buf, tacc_buf,
+               ack_buf, copy_sem, send_sems, recv_sems,
+               ack_send_sem, ack_recv_sem, ret_send_sem, ret_recv_sem):
         my_id = jax.lax.axis_index(axis)
         right = jax.lax.rem(my_id + 1, p)
         left = jax.lax.rem(my_id + p - 1, p)
@@ -314,23 +320,33 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
         masked_self = variant in ("turbo", "turbof", "turbo2", "mxu")
 
         def stream_phase(slot, two_sided, first, self_phase=False):
-            """Local i-shard vs payload slot ``slot``: RMW ``acc_ref``
+            """Local i-shard vs payload slot ``slot``: RMW ``accT_ref``
             (plain store when ``first``); ``two_sided`` also folds the
-            j-side into the slot's travel rows (4:7).  ``self_phase``
-            masks self-pairs for the bf16-weight tiers (see _tile_i)."""
+            j-side into the slot's travel rows.  ``self_phase`` masks
+            self-pairs for the bf16-weight tiers (see _tile_i).
+
+            Mosaic's tiled memrefs (HBM and VMEM alike) reject sub-tile
+            SUBLANE slices and narrow-lane buffers — every buffer here
+            is therefore wide and tile-aligned ((8, U) payload tiles,
+            (4, U) travel tiles, (8, BI) / (4, BI) i-side tiles), rows
+            are split on LOADED VALUES only, and the i-shard / the
+            accumulator live TRANSPOSED (xi staged from the chip's own
+            (8, C) payload by lane slicing; narrow value transposes
+            compile and are exact — probed on the real chip)."""
 
             def ib_body(ib, _):
-                row = pl.ds(ib * block_i, block_i)
-                cp(pos_ref.at[row, :], xi_buf)
-                cp(mass_col_ref.at[row, :], mcol_buf)
-                xi = xi_buf[...]
-                mci = mcol_buf[...]
+                ilane = pl.ds(ib * block_i, block_i)
+                cp(own_ref.at[:, ilane], xi8_buf)
+                v8 = xi8_buf[...]                       # (8, BI)
+                xi = v8[0:3, :].T                       # (BI, 3)
+                mci = v8[3:4, :].T                      # (BI, 1)
 
                 def jt_body(jt, tile):
                     lane = pl.ds(jt * block_u, block_u)
-                    cp(comm_ref.at[slot].at[:, lane], jt_buf)
-                    xjT = jt_buf[0:3, :]
-                    mrj = jt_buf[3:4, :]
+                    cp(data_ref.at[slot].at[:, lane], jt_buf)
+                    tile8 = jt_buf[...]
+                    xjT = tile8[0:3, :]
+                    mrj = tile8[3:4, :]
                     mask = None
                     if self_phase and masked_self:
                         i_ids = (ib * block_i + jax.lax.broadcasted_iota(
@@ -339,12 +355,13 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
                             jnp.int32, (block_i, block_u), 1))
                         mask = (i_ids != j_ids).astype(jnp.float32)
                     if two_sided:
+                        cp(ctrav_ref.at[slot].at[:, lane], tacc_buf)
                         ai, ajT = _tile_both(variant, xi, mci, xjT, mrj,
                                              eps2, block_i)
-                        tacc_buf[0:3, :] = jt_buf[4:7, :] + ajT
-                        tacc_buf[3:4, :] = jt_buf[7:8, :]
-                        cp(tacc_buf,
-                           comm_ref.at[slot].at[pl.ds(4, 4), lane])
+                        t4 = tacc_buf[...]
+                        tacc_buf[...] = jnp.concatenate(
+                            [t4[0:3, :] + ajT, t4[3:4, :]], axis=0)
+                        cp(tacc_buf, ctrav_ref.at[slot].at[:, lane])
                     else:
                         ai = _tile_i(variant, xi, mci, xjT, mrj, eps2,
                                      mask=mask)
@@ -352,39 +369,49 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
 
                 tile = jax.lax.fori_loop(
                     0, n_jt, jt_body, jnp.zeros((block_i, 3), jnp.float32))
+                tileT = jnp.concatenate(
+                    [tile.T, jnp.zeros((1, block_i), jnp.float32)], axis=0)
                 if first:
-                    acc_buf[...] = tile
+                    at4_buf[...] = tileT
                 else:
-                    cp(acc_ref.at[row, :], acc_buf)
-                    acc_buf[...] = acc_buf[...] + tile
-                cp(acc_buf, acc_ref.at[row, :])
+                    cp(accT_ref.at[:, ilane], at4_buf)
+                    at4_buf[...] = at4_buf[...] + tileT
+                cp(at4_buf, accT_ref.at[:, ilane])
                 return 0
 
             jax.lax.fori_loop(0, n_ib, ib_body, 0)
 
-        # ---- pack phase-0 payload: rows 0:3 posT, 3 mass, 4:8 zeros.
-        cp(posT_ref, comm_ref.at[0].at[pl.ds(0, 3), :])
-        cp(mass_row_ref, comm_ref.at[0].at[pl.ds(3, 1), :])
+        # ---- phase-0 payload: the chip's own (8, C) [posT; mass; pad]
+        # payload arrives PRE-PACKED as an input (XLA builds it per shard
+        # — wide plain f32 rows, outside the narrow-bf16/SMEM mechanism
+        # of the operand-ingestion platform bug, and oracle-verified by
+        # the compiled spot-check); one aligned HBM->HBM DMA seeds slot 0
+        # and the travel accumulator zeroes tile-by-tile.
+        cp(own_ref, data_ref.at[0])
         tacc_buf[...] = jnp.zeros_like(tacc_buf)
         for jt in range(n_jt):
             cp(tacc_buf,
-               comm_ref.at[0].at[pl.ds(4, 4), pl.ds(jt * block_u, block_u)])
+               ctrav_ref.at[0].at[:, pl.ds(jt * block_u, block_u)])
 
         # ---- self phase.
         stream_phase(0, two_sided=False, first=True, self_phase=True)
 
         if p == 1:
-            cp(comm_ref.at[0].at[pl.ds(4, 4), :], trav_ref)
+            cp(ctrav_ref.at[0], trav_ref)
             return
 
         def send_payload(d):
-            """Forward slot (d-1)%2 to the right neighbor's slot d%2."""
-            return pltpu.make_async_remote_copy(
-                src_ref=comm_ref.at[jax.lax.rem(d - 1, 2)],
-                dst_ref=comm_ref.at[jax.lax.rem(d, 2)],
-                send_sem=send_sem, recv_sem=recv_sem,
-                device_id=right,
-                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            """Forward slot (d-1)%2 to the right neighbor's slot d%2 —
+            two concurrent RDMAs (data / travel), each on its own
+            semaphore pair so waits match descriptors."""
+            s, t = jax.lax.rem(d - 1, 2), jax.lax.rem(d, 2)
+            return [
+                pltpu.make_async_remote_copy(
+                    src_ref=ref.at[s], dst_ref=ref.at[t],
+                    send_sem=send_sems.at[k], recv_sem=recv_sems.at[k],
+                    device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                for k, ref in enumerate((data_ref, ctrav_ref))]
 
         def _ack_dma():
             return pltpu.make_async_remote_copy(
@@ -416,9 +443,11 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
 
         def phase(d, two_sided):
             ack_consume()
-            dma = send_payload(d)
-            dma.start()
-            dma.wait()          # send done AND phase-d payload received
+            dmas = send_payload(d)
+            for dma in dmas:
+                dma.start()
+            for dma in dmas:
+                dma.wait()      # send done AND phase-d payload received
             send_ack()
             stream_phase(jax.lax.rem(d, 2), two_sided=two_sided,
                          first=False)
@@ -443,7 +472,7 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
         # semaphore/output contract uniform.
         home = jax.lax.rem(my_id + p - d_final, p)
         ret = pltpu.make_async_remote_copy(
-            src_ref=comm_ref.at[jax.lax.rem(d_final, 2)].at[pl.ds(4, 4), :],
+            src_ref=ctrav_ref.at[jax.lax.rem(d_final, 2)],
             dst_ref=trav_ref,
             send_sem=ret_send_sem, recv_sem=ret_recv_sem,
             device_id=home,
@@ -482,27 +511,38 @@ def rdma_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
     use_barrier = (not interpret) and p > 1
     kernel = _make_ring_kernel(p, c, block_i, block_u, float(cfg.eps2),
                                axis, variant, one_sided, use_barrier)
-    posT = pos_l.T
-    mass_row = mass_l[None, :]
-    mass_col = mass_l[:, None]
-    acc_own, trav = pl.pallas_call(
+    # The chip's own payload is pre-packed by XLA (wide plain f32 rows:
+    # posT, mass, zero pad — NOT the narrow-bf16/SMEM shapes the
+    # operand-ingestion platform bug corrupts; the compiled spot-check
+    # oracle-gates ingestion), because Mosaic's tiled memrefs reject
+    # every in-kernel route to it: sub-tile SUBLANE slices (HBM and
+    # VMEM) and narrow-lane VMEM buffers ((U, 3) / (BI, 3) scratch) all
+    # fail to lower on real hardware.  For the same reason the rotating
+    # payload rides ANY *outputs* (HBM workspaces, discarded) — this
+    # relay's AOT compiler rejects ANY-space scratch and crashes on
+    # HBM-space scratch — split as (2, 8, C) data + (2, 4, C) travel so
+    # every slot/lane slice is tile-aligned, and the accumulator is
+    # built TRANSPOSED (4, C) and flipped back by XLA below.
+    own = jnp.concatenate(
+        [pos_l.T, mass_l[None, :], jnp.zeros((4, c), jnp.float32)], axis=0)
+    accT, trav, _, _ = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((c, 3), jnp.float32),
-                   jax.ShapeDtypeStruct((4, c), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)),
+        out_shape=(jax.ShapeDtypeStruct((4, c), jnp.float32),
+                   jax.ShapeDtypeStruct((4, c), jnp.float32),
+                   jax.ShapeDtypeStruct((2, 8, c), jnp.float32),
+                   jax.ShapeDtypeStruct((2, 4, c), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
         scratch_shapes=[
-            pl.ANY((2, 8, c), jnp.float32),          # payload double buffer
-            pltpu.VMEM((block_i, 3), jnp.float32),   # xi stage
-            pltpu.VMEM((block_i, 1), jnp.float32),   # mass_col stage
+            pltpu.VMEM((8, block_i), jnp.float32),   # xiT stage
             pltpu.VMEM((8, block_u), jnp.float32),   # payload tile stage
-            pltpu.VMEM((block_i, 3), jnp.float32),   # acc RMW stage
+            pltpu.VMEM((4, block_i), jnp.float32),   # accT RMW stage
             pltpu.VMEM((4, block_u), jnp.float32),   # travel RMW stage
             pltpu.VMEM((1, 128), jnp.float32),       # ack token
             pltpu.SemaphoreType.DMA,                 # local copies
-            pltpu.SemaphoreType.DMA,                 # data send
-            pltpu.SemaphoreType.DMA,                 # data recv
+            pltpu.SemaphoreType.DMA((2,)),           # payload sends
+            pltpu.SemaphoreType.DMA((2,)),           # payload recvs
             pltpu.SemaphoreType.DMA,                 # ack send
             pltpu.SemaphoreType.DMA,                 # ack recv
             pltpu.SemaphoreType.DMA,                 # return send
@@ -511,5 +551,6 @@ def rdma_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             collective_id=0) if use_barrier else None,
-    )(pos_l, posT, mass_row, mass_col)
+    )(own)
+    acc_own = accT[0:3, :].T
     return _inv_mass_scale(acc_own + trav[0:3, :].T, mass_l, variant)

@@ -284,10 +284,24 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     p = mesh.shape[axis]
     state = pad_state_to(state, shard_padding(cfg, p))
 
+    sharded = _sharded_run_program(mesh, axis, cfg, n_steps, local_impl,
+                                   comm)
+    pos, vel, acc = sharded(state.pos, state.vel, state.acc, state.mass)
+    out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
+    return unpad_state(out, n_real)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_run_program(mesh: Mesh, axis: str, cfg: SimConfig,
+                         n_steps: int, impl: str, comm: str):
+    """Compile-once jitted shard_map chunk program.  Cached: the run
+    loop calls per CHUNK, and a fresh ``jax.jit`` wrapper per call would
+    retrace (and re-pay relay-side executable loading) at every chunk
+    boundary (review r4 — same rationale as multiprog._mesh_programs)."""
     fn = functools.partial(
-        _sharded_run_local, cfg=cfg, n_steps=n_steps, impl=local_impl,
+        _sharded_run_local, cfg=cfg, n_steps=n_steps, impl=impl,
         comm=comm, axis=axis)
-    sharded = jax.jit(
+    return jax.jit(
         jax.shard_map(
             fn, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -297,9 +311,6 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
             # through every kernel out_shape.
             check_vma=False,
         ))
-    pos, vel, acc = sharded(state.pos, state.vel, state.acc, state.mass)
-    out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
-    return unpad_state(out, n_real)
 
 
 def prime_kdk_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
@@ -336,18 +347,22 @@ def prime_kdk_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     return unpad_state(state._replace(acc=acc), n_real)
 
 
-def _sharded_frames_local(pos_l, vel_l, acc_l, mass_l, *, cfg: SimConfig,
-                          n_steps: int, frame_every: int, impl: str,
-                          comm: str, axis: str, view):
+def _sharded_frames_local(pos_l, vel_l, acc_l, mass_l, view_arr, *,
+                          cfg: SimConfig, n_steps: int, frame_every: int,
+                          impl: str, comm: str, axis: str):
     """Per-shard run loop with in-loop rendered frames: each chip
     rasterizes its LOCAL shard to a packed (H, W) weight map inside the
     compiled loop and the maps max-combine across the mesh (``pmax`` —
     the same brightest-point splat rule the rasterizer uses per pixel,
     so the combined frame is pixel-identical to rendering the gathered
-    state).  Zero-mass ghosts never draw, so padding is invisible."""
+    state).  Zero-mass ghosts never draw, so padding is invisible.
+
+    ``view_arr``: (3,) f32 camera ``(max_view, cu, cv)`` — a TRACED
+    operand like the single-chip path's, so live-viewer zoom/pan changes
+    recompile nothing (review r4: it was a trace-baked static)."""
     from ..viz.raster import render_weights
     one_step = _one_step_local(mass_l, cfg, impl, comm, axis)
-    mv, cu, cv = view
+    mv, cu, cv = view_arr[0], view_arr[1], view_arr[2]
 
     def outer(carry, _):
         carry = jax.lax.fori_loop(
@@ -391,19 +406,30 @@ def run_trajectory_frames_sharded(
     local_impl = _resolve_local_impl(impl, sym_default=comm == "rdma")
     mv, cu, cv = view if view is not None else (cfg.max_view, 0.0, 0.0)
 
+    sharded = _sharded_frames_program(mesh, axis, cfg, n_steps,
+                                      frame_every, local_impl, comm)
+    view_arr = jnp.asarray([mv, cu, cv], jnp.float32)
+    pos, vel, acc, frames = sharded(state.pos, state.vel, state.acc,
+                                    state.mass, view_arr)
+    out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
+    return unpad_state(out, n_real), frames
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_frames_program(mesh: Mesh, axis: str, cfg: SimConfig,
+                            n_steps: int, frame_every: int, impl: str,
+                            comm: str):
+    """Compile-once jitted shard_map frames program (cached for the same
+    per-chunk reasons as ``_sharded_run_program``; the camera rides as a
+    traced (3,) operand so it is NOT part of the key)."""
     fn = functools.partial(
         _sharded_frames_local, cfg=cfg, n_steps=n_steps,
-        frame_every=frame_every, impl=local_impl, comm=comm, axis=axis,
-        view=(mv, cu, cv))
-    sharded = jax.jit(
+        frame_every=frame_every, impl=impl, comm=comm, axis=axis)
+    return jax.jit(
         jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             # frames are replicated after the pmax combine.
             out_specs=(P(axis), P(axis), P(axis), P()),
             check_vma=False,
         ))
-    pos, vel, acc, frames = sharded(state.pos, state.vel, state.acc,
-                                    state.mass)
-    out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
-    return unpad_state(out, n_real), frames

@@ -137,6 +137,19 @@ def test_total_energy_sharded_matches_host_all_parities():
                                        err_msg=f"p={p} pallas={use_pallas}")
 
 
+def test_total_energy_sharded_nondivisor_col_chunk():
+    """c > 2048 with c % 2048 != 0 (block_u=1024, N=6144 on 2 shards ->
+    c=3072) must not crash the XLA flavor's column reshape (review r4:
+    the col chunk must divide the shard size)."""
+    from nbody_tpu.parallel.energy import total_energy_sharded
+    from nbody_tpu.parallel.mesh import make_mesh
+    state = _mesh_state(6144, seed=73)
+    e_host = energy_f64(state, EPS2)
+    e = total_energy_sharded(state, EPS2, make_mesh(2), block_i=256,
+                             block_u=1024, use_pallas=False)
+    np.testing.assert_allclose(e, e_host, rtol=1e-5)
+
+
 def test_total_energy_sharded_bounded_split():
     """A tiny max_prog_pairs splits the sweep into many bounded programs
     (progress sees them) without changing the result beyond f32

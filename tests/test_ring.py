@@ -281,3 +281,59 @@ def test_rdma_auto_impl_resolves_to_sym():
     rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 2)
     assert_matches_oracle(np.asarray(out.pos), rpos, "pos(rdma auto)",
                           abs_tol=1.0)
+
+
+def test_sharded_chunk_programs_cached():
+    """run_steps_sharded / run_trajectory_frames_sharded must reuse ONE
+    jitted program per (mesh, cfg, n_steps, impl, comm) — a fresh jit
+    wrapper per chunk would retrace + re-pay relay-side executable
+    loading at every chunk boundary (review r4)."""
+    from nbody_tpu.parallel.ring import (_sharded_frames_program,
+                                         _sharded_run_program,
+                                         run_trajectory_frames_sharded)
+    n = 256
+    state, *_ = make_state(n, seed=30)
+    cfg = SimConfig(n_bodies=n, impl="xla", chunk=64)
+    mesh = make_mesh(4)
+    h0 = _sharded_run_program.cache_info().hits
+    run_steps_sharded(state, cfg, mesh, 2, impl="xla")
+    run_steps_sharded(state, cfg, mesh, 2, impl="xla")
+    assert _sharded_run_program.cache_info().hits > h0
+    # Camera rides as a TRACED operand: two different views hit the same
+    # cached program yet render different frames.
+    cfg_v = cfg.replace(viz_width=32, viz_height=32, viz_every=1)
+    _, f1 = run_trajectory_frames_sharded(state, cfg_v, mesh, 1,
+                                          impl="xla", view=(100.0, 0, 0))
+    h1 = _sharded_frames_program.cache_info().hits
+    _, f2 = run_trajectory_frames_sharded(state, cfg_v, mesh, 1,
+                                          impl="xla",
+                                          view=(200000.0, 0, 0))
+    assert _sharded_frames_program.cache_info().hits > h1
+    assert not np.array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_simulation_rdma_auto_reroutes_incompatible_resolution():
+    """comm='rdma' + impl='auto' where resolve_impl lands on a non-rdma
+    backend (xla_nxn off-TPU at small N) re-resolves to the sym2 exact
+    tier instead of erroring on an impl the user never chose (review
+    r4)."""
+    from nbody_tpu.models.simulation import Simulation
+    n = 256
+    state, pos, vel, mass = make_state(n, seed=31)
+    cfg = SimConfig(n_bodies=n, block_i=8, block_j=128, block_u=128)
+    sim = Simulation(cfg, state=state, mesh=make_mesh(4), comm="rdma")
+    assert sim.impl == "pallas_sym2"
+    res = sim.run(n_steps=2, log_every=0)
+    rpos, _, _ = oracle_run(pos, vel, mass, cfg.eps2, cfg.dt, 2)
+    assert_matches_oracle(np.asarray(res.state.pos), rpos,
+                          "pos(rdma auto sim)", abs_tol=1.0)
+
+
+def test_simulation_rdma_f64_names_the_dtype():
+    """comm='rdma' with a non-f32 dtype is a genuine incompatibility (the
+    in-kernel ring is f32 Pallas): the error must blame the dtype, not
+    whatever impl auto resolution produced (review r4)."""
+    from nbody_tpu.models.simulation import Simulation
+    cfg = SimConfig(n_bodies=256, dtype="float64")
+    with pytest.raises(ValueError, match="float32"):
+        Simulation(cfg, mesh=make_mesh(4), comm="rdma")
