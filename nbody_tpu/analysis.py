@@ -188,7 +188,18 @@ def analyze_trajectory(path: str, n_bins: int = 32,
     integration-health and dynamical-state series positions alone cannot
     carry: ``energy`` (total, f64), ``energy_drift``
     (|E(t) - E(t0)| / |E(t0)| relative to the FIRST SNAPSHOT — snapshots
-    start at step ``snap_every``, not 0) and ``virial`` (Q = 2K/|W|).
+    start at step ``snap_every``, not 0) and ``virial`` (Q = 2K/|W|),
+    plus the exactly-conserved invariants as drift series (same
+    normalization as ``nbody validate``'s invariant gate,
+    ``cli.py:427-444``): ``momentum_drift`` =
+    max|P(t) - P(t0)| / (sum m|v| or 1) and ``ang_mom_drift`` =
+    max|L(t) - L(t0)| / (sum m|r - c||v| or 1) with L about each
+    snapshot's COM.  Unlike energy (which leapfrog only bounds and chaos
+    blurs), these are exact invariants of every integrator here — kicks
+    are central (zero torque) and drifts move along v — so sustained
+    growth in either series indicates an implementation bug, not
+    physics.  O(N) per snapshot, so they are computed even when the
+    O(N^2) energy sweep is skipped.
     ``eps2`` defaults to the trajectory's embedded config (falling back
     to the ``constants.h`` default).  The potential sweep is O(N^2)
     host f64 per snapshot, so the energy/virial series is skipped above
@@ -231,15 +242,31 @@ def analyze_trajectory(path: str, n_bins: int = 32,
                 from .config import SimConfig
                 eps2 = SimConfig().eps2   # constants.h:19 default
         n = snaps.shape[1]
-        if n <= energy_max_n:
-            energy, virial = [], []
-            for k in range(t):
-                p = np.asarray(snaps[k], dtype=np.float64)
-                v = np.asarray(vels[k], dtype=np.float64)
-                ke = 0.5 * float(np.sum(mass * np.sum(v * v, axis=-1)))
+        do_energy = n <= energy_max_n
+        energy, virial = [], []
+        moms, p_scales, angs, l_scales = [], [], [], []
+        for k in range(t):
+            p = np.asarray(snaps[k], dtype=np.float64)
+            v = np.asarray(vels[k], dtype=np.float64)
+            speed = np.linalg.norm(v, axis=1)
+            moms.append((mass[:, None] * v).sum(axis=0))
+            p_scales.append(float((mass * speed).sum()))
+            c = center_of_mass(p, mass)
+            angs.append(angular_momentum(p, v, mass, center=c))
+            l_scales.append(float(
+                (mass * np.linalg.norm(p - c, axis=1) * speed).sum()))
+            if do_energy:
+                ke = 0.5 * float(np.sum(mass * speed * speed))
                 w = _potential_f64(p, mass, eps2)
                 energy.append(ke + w)
                 virial.append(2.0 * ke / abs(w) if w else float("inf"))
+        out["momentum_drift"] = [
+            float(np.abs(moms[k] - moms[0]).max()) / (p_scales[k] or 1.0)
+            for k in range(t)]
+        out["ang_mom_drift"] = [
+            float(np.abs(angs[k] - angs[0]).max()) / (l_scales[k] or 1.0)
+            for k in range(t)]
+        if do_energy:
             e0 = energy[0]
             out["energy"] = energy
             out["energy_drift"] = [abs(e - e0) / (abs(e0) or 1.0)

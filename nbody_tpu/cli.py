@@ -678,16 +678,20 @@ def cmd_analyze(args) -> int:
     lr = res["lagrangian_radii"]
     fracs = res["fractions"]
     has_e = "energy" in res
+    has_inv = "momentum_drift" in res
     hdr = "  ".join(f"r{int(f * 100):02d}%" for f in fracs)
     ehdr = f"  {'dE/E0':>10}  {'virial_Q':>9}" if has_e else ""
+    ihdr = f"  {'dP_rel':>9}  {'dL_rel':>9}" if has_inv else ""
     print(f"== trajectory analysis: {args.trajectory} "
           f"({len(steps)} snapshots) ==")
-    print(f"{'step':>8}  {'com_drift':>12}  {hdr}{ehdr}")
+    print(f"{'step':>8}  {'com_drift':>12}  {hdr}{ehdr}{ihdr}")
     for k in range(len(steps)):
         radii = "  ".join(f"{r:11.4g}" for r in lr[k])
         erow = (f"  {res['energy_drift'][k]:>10.3e}"
                 f"  {res['virial'][k]:>9.4g}" if has_e else "")
-        print(f"{steps[k]:>8}  {drift[k]:>12.4g}  {radii}{erow}")
+        irow = (f"  {res['momentum_drift'][k]:>9.2e}"
+                f"  {res['ang_mom_drift'][k]:>9.2e}" if has_inv else "")
+        print(f"{steps[k]:>8}  {drift[k]:>12.4g}  {radii}{erow}{irow}")
     if "energy_note" in res:
         print(f"[note] {res['energy_note']}")
     g0 = np.asarray(res["g_r_first"])
@@ -751,7 +755,8 @@ def build_parser() -> argparse.ArgumentParser:
     runp.add_argument("--traj-vel", action="store_true",
                       help="also capture velocities in --save-trajectory "
                            "(doubles snapshot size; unlocks the "
-                           "energy/virial series in `nbody analyze`)")
+                           "energy/virial and exact-invariant P/L drift "
+                           "series in `nbody analyze`)")
     runp.add_argument("--quiet", action="store_true")
     runp.set_defaults(fn=cmd_run)
 

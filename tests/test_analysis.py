@@ -187,15 +187,39 @@ def test_analyze_energy_virial_series(tmp_path):
                                    rtol=1e-12)
     assert res["energy_drift"][0] == 0.0
 
+    # Invariant drift series (validate's normalization, cli.py:427-444):
+    # drift-from-first-snapshot over per-snapshot scale.
+    m64 = mass.astype(np.float64)
+    assert res["momentum_drift"][0] == 0.0
+    assert res["ang_mom_drift"][0] == 0.0
+    p0 = (m64[:, None] * vels[0].astype(np.float64)).sum(axis=0)
+    p1 = (m64[:, None] * vels[1].astype(np.float64)).sum(axis=0)
+    scale1 = float((m64 * np.linalg.norm(
+        vels[1].astype(np.float64), axis=1)).sum())
+    np.testing.assert_allclose(res["momentum_drift"][1],
+                               np.abs(p1 - p0).max() / scale1, rtol=1e-12)
+    from nbody_tpu.analysis import angular_momentum
+    l_drift = np.abs(
+        angular_momentum(snaps[1].astype(np.float64),
+                         vels[1].astype(np.float64), m64)
+        - angular_momentum(snaps[0].astype(np.float64),
+                           vels[0].astype(np.float64), m64)).max()
+    assert res["ang_mom_drift"][1] > 0 and np.isfinite(l_drift)
+
     # Static pair -> drift exactly 0 at both snapshots.
     save_trajectory(path, np.stack([base, base]), snap_every=1, mass=mass,
                     vel_snapshots=np.stack([vel, vel]))
     res2 = analyze_trajectory(path, n_bins=8)
     assert res2["energy_drift"] == [0.0, 0.0]
+    assert res2["momentum_drift"] == [0.0, 0.0]
+    assert res2["ang_mom_drift"] == [0.0, 0.0]
 
-    # Above the cap: series skipped with a note (not an O(N^2) stall).
+    # Above the cap: energy series skipped with a note (not an O(N^2)
+    # stall) — but the O(N) invariant series still computes.
     res3 = analyze_trajectory(path, n_bins=8, energy_max_n=64)
     assert "energy" not in res3 and "N=128" in res3["energy_note"]
+    assert res3["momentum_drift"] == [0.0, 0.0]
+    assert res3["ang_mom_drift"] == [0.0, 0.0]
 
 
 def test_run_traj_vel_analyze_cli(tmp_path, capsys):
@@ -218,6 +242,11 @@ def test_run_traj_vel_analyze_cli(tmp_path, capsys):
         res = _json.loads(capsys.readouterr().out)
         assert len(res["energy"]) == 3 and len(res["virial"]) == 3
         assert max(res["energy_drift"]) < 1e-2
+        # The exact invariants hold to rounding on a real integrator run
+        # (kicks central, drifts along v — analysis.py docstring).
+        assert max(res["momentum_drift"]) < 1e-6
+        assert max(res["ang_mom_drift"]) < 1e-6
         assert main(["analyze", path]) == 0
         out = capsys.readouterr().out
         assert "dE/E0" in out and "virial_Q" in out
+        assert "dP_rel" in out and "dL_rel" in out
