@@ -339,6 +339,11 @@ def cmd_validate(args) -> int:
     reference's own parameters are not), plus the exactly-conserved
     momentum and angular momentum (--invariant-gate), which chaos cannot
     excuse and an asymmetric force-law bug breaks immediately.
+
+    ``--shards P`` runs every device-side phase through the production
+    sharded path (fused ``run_steps_sharded`` or the bounded mesh
+    dispatcher when the program cap binds) so a pod user validates the
+    execution path they will actually run (VERDICT r4 #4).
     """
     from .config import SimConfig
     from .models.energy import energy_f64
@@ -346,9 +351,9 @@ def cmd_validate(args) -> int:
     from .models.state import SimState
     from .ops.step import prime_kdk, run_steps
     from .oracle.numpy_oracle import oracle_run, relative_mismatch
-    if args.shards:
-        print("validate runs single-device (the sharded path is validated "
-              "by tests/test_ring.py); drop --shards", file=sys.stderr)
+    if args.shards and args.analytic:
+        print("--analytic gates are two-body closed-form checks and run "
+              "single-device; drop --shards", file=sys.stderr)
         return 2
     if args.analytic:
         # Closed-form two-body gates (models/kepler.py) — validation against
@@ -371,14 +376,49 @@ def cmd_validate(args) -> int:
         print("Analytic verification " + ("PASSED" if ok else "FAILED"))
         return 0 if ok else 1
     cfg = _make_cfg(args)
+    mesh = None
+    if args.shards:
+        # Validate the PRODUCTION sharded execution path (VERDICT r4 #4):
+        # the strict short-horizon gate and the long-horizon energy/
+        # invariant gates run through run_steps_sharded — or through the
+        # bounded mesh dispatcher when the per-chip program cap binds —
+        # exactly the routing a pod run gets from Simulation.  The
+        # reference bar: the oracle harness validates the execution path
+        # the production loop actually uses (validation.cpp:65-86).
+        from .ops.step import should_use_multiprog
+        from .parallel.mesh import make_mesh
+        from .parallel.ring import (_resolve_local_impl, prime_kdk_sharded,
+                                    run_steps_sharded)
+        mesh = make_mesh(args.shards)
+        comm = getattr(args, "comm", "ring")
+        local_impl = _resolve_local_impl(
+            None if args.impl == "auto" else args.impl,
+            sym_default=comm == "rdma")
+        if (comm == "ring"
+                and should_use_multiprog(cfg, local_impl,
+                                         n_devices=args.shards)):
+            from .parallel.multiprog import run_steps_sharded_multiprog
+
+            def dev_run(st, ns):
+                return run_steps_sharded_multiprog(st, cfg, mesh, ns,
+                                                   impl=local_impl)
+        else:
+            def dev_run(st, ns):
+                return run_steps_sharded(st, cfg, mesh, ns,
+                                         impl=local_impl, comm=comm)
+    else:
+        def dev_run(st, ns):
+            return run_steps(st, cfg, ns)
     maker = INIT_MAKERS.get(args.init, init_state)
     state = maker(cfg)
     if cfg.integrator != "reference":
-        state = prime_kdk(state, cfg)
+        state = (prime_kdk_sharded(state, cfg, mesh, impl=local_impl,
+                                   comm=comm)
+                 if mesh is not None else prime_kdk(state, cfg))
     pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
     mass = np.asarray(state.mass)
 
-    dev = run_steps(state, cfg, args.steps)
+    dev = dev_run(state, args.steps)
     dtype = np.float32 if args.oracle_f32 else np.float64
     if args.oracle == "native" and cfg.integrator == "yoshida4":
         # The native oracle twins only the reference/kdk schemes; the numpy
@@ -464,7 +504,7 @@ def cmd_validate(args) -> int:
         chunk = next(d for d in range(min(bound, ls), 0, -1) if ls % d == 0)
         dev_l, done = state, 0
         while done < ls:
-            dev_l = run_steps(dev_l, cfg, chunk)
+            dev_l = dev_run(dev_l, chunk)
             done += chunk
         # The oracle twin prefers the native f64 build for this phase
         # (~6 min at N=8192 on one core vs ~30 for numpy); yoshida4 has

@@ -128,9 +128,34 @@ def test_validate_long_steps_zero_disables(capsys):
     assert "[long]" not in out and "long-horizon" not in out
 
 
-def test_validate_rejects_shards(capsys):
-    rc = main(["validate", "--n", "128", "--steps", "5", "--impl", "xla",
-               "--shards", "8"])
+def test_validate_shards(capsys):
+    """`nbody validate --shards P` runs the oracle gates through the
+    PRODUCTION sharded path (run_steps_sharded + prime_kdk_sharded) —
+    VERDICT r4 #4: a pod user can drive validation on the mesh they'll
+    run on.  Long horizon kept short (mesh geometry, conftest envelope)."""
+    rc = main(["validate", "--n", "256", "--steps", "5", "--impl", "xla",
+               "--shards", "8", "--long-steps", "20"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[long]" in out and "Verification PASSED" in out
+
+
+def test_validate_shards_multiprog(capsys):
+    """A binding --prog-cap routes validate's device runs through the
+    bounded mesh dispatcher (run_steps_sharded_multiprog) — the same
+    routing Simulation uses (tiny geometry: interpret-mode sym kernels
+    between collectives, see conftest envelope)."""
+    rc = main(["validate", "--n", "256", "--steps", "3", "--impl",
+               "pallas_sym", "--shards", "4", "--block-i", "8",
+               "--block-j", "128", "--block-u", "128", "--prog-cap", "1e4",
+               "--long-steps", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Verification PASSED" in out
+
+
+def test_validate_rejects_shards_with_analytic(capsys):
+    rc = main(["validate", "--analytic", "--shards", "8"])
     assert rc == 2
 
 
