@@ -130,10 +130,12 @@ def _add_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--shards", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
     p.add_argument("--comm", default="ring",
-                   choices=["ring", "allgather", "rdma"],
+                   choices=["ring", "allgather", "rdma", "rdma_overlap"],
                    help="sharded sweep: ppermute ring (N3L for sym "
                         "impls), Ulysses all-gather, or the fused "
-                        "in-kernel RDMA ring (parallel/rdma_ring.py)")
+                        "in-kernel RDMA ring (parallel/rdma_ring.py; "
+                        "rdma_overlap = data rows forward on receipt, "
+                        "travel rows trail one phase)")
 
 
 def _make_cfg(args):

@@ -32,10 +32,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from . import forces_pallas_sym as _fps
-from .forces_pallas_sym import (_accum_i_vpu, _accum_j_vpu, _pair_terms,
+from .forces_pallas_sym import (_accum_i_turbo, _accum_j_turbo,
+                                _accum_i_vpu, _accum_j_vpu, _pair_terms,
                                 _scatter_add)
 
-ABLATION_NAMES = ("vpu_noj", "vpu_fix0", "vpu_rc")
+ABLATION_NAMES = ("vpu_noj", "vpu_fix0", "vpu_rc",
+                  "tmm_full", "tmm_noscat", "tmm_noj", "tmm_nomm")
+
+# Turbo MXU-chain ablations (round 5, VERDICT r4 weak #5 — the turbo SOL
+# settlement).  The production turbo tile is VPU pair-terms + two bf16
+# accumulate-matmuls whose input `f` is produced by the VPU in the SAME
+# grid step (Mosaic cannot overlap a matmul with the VPU work that feeds
+# it), so the roofline question is "how much tile time do the matmul
+# passes add to the VPU floor?".  These four variants peel the chain:
+#
+#   tmm_full   — full turbo math, but with the (U,3) j-positions
+#                RECONSTRUCTED in-kernel by transposing the (3,U) tile
+#                (vpu operand signature).  Production-turbo minus
+#                tmm_full prices that reconstruction (the control).
+#   tmm_noscat — both matmuls, j-side added to a FIXED slot (prices the
+#                dynamic-offset scatter RMW; results wrong).
+#   tmm_noj    — i-side matmul only (prices the j matmul pass).
+#   tmm_nomm   — pair terms + both bf16 casts, NO matmuls; the casts are
+#                consumed by a 1-flop/pair row reduce so Mosaic cannot
+#                dead-code them (prices the un-overlappable VPU floor;
+#                results wrong).
 
 
 def _accum_both_vpu_rc(xi, xjT, mass_row_j, mass_col_i, eps2):
@@ -57,9 +78,38 @@ def _accum_both_vpu_rc(xi, xjT, mass_row_j, mass_col_i, eps2):
     return (jnp.concatenate(ai, axis=1), jnp.concatenate(aj, axis=0))
 
 
+def _tile_turbo_mm(variant, xi, xjT, mass_row, mass_col, eps2,
+                   acc_i_ref, acc_jT_ref, j_sb):
+    """Turbo MXU-chain ablation tile (vpu operand signature; see the
+    ABLATION_NAMES note)."""
+    block_i, block_u = xi.shape[0], xjT.shape[1]
+    dx, dy, dz, fi, fj = _pair_terms(xi, xjT, mass_row, mass_col, eps2)
+    del dx, dy, dz
+    if variant == "tmm_nomm":
+        fb_i = fi.astype(jnp.bfloat16)
+        fb_j = fj.astype(jnp.bfloat16)
+        s = (jnp.sum(fb_i.astype(jnp.float32), axis=1, keepdims=True)
+             + jnp.sum(fb_j.astype(jnp.float32), axis=1, keepdims=True))
+        acc_i_ref[:] += s * jnp.ones((1, 3), jnp.float32)
+        return
+    pos_j = xjT.T                       # (U, 3); priced by tmm_full
+    acc_i_ref[:] += _accum_i_turbo(fi, xi, pos_j, block_u)
+    if variant == "tmm_noj":
+        return
+    aj = _accum_j_turbo(fj, xi, xjT, block_i)
+    if variant == "tmm_noscat":
+        acc_jT_ref[0] = acc_jT_ref[0] + aj
+    else:                               # tmm_full
+        _scatter_add(acc_jT_ref, j_sb, aj)
+
+
 def _tile(variant, xi, xjT, mass_row, mass_col, eps2, acc_i_ref,
           acc_jT_ref, j_sb):
-    """Shared tile body for all three ablations (vpu operand signature)."""
+    """Shared tile body for all the ablations (vpu operand signature)."""
+    if variant.startswith("tmm_"):
+        _tile_turbo_mm(variant, xi, xjT, mass_row, mass_col, eps2,
+                       acc_i_ref, acc_jT_ref, j_sb)
+        return
     if variant == "vpu_rc":
         ai, aj = _accum_both_vpu_rc(xi, xjT, mass_row, mass_col, eps2)
         acc_i_ref[:] += ai

@@ -276,9 +276,41 @@ def _tile_i(variant, xi, mass_col_i, xjT, mass_row_j, eps2, mask=None):
 @functools.lru_cache(maxsize=None)
 def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
                       eps2: float, axis: str, variant: str,
-                      one_sided: bool, barrier: bool):
+                      one_sided: bool, barrier: bool,
+                      overlap: bool = False):
     """Build the fused P-phase ring kernel (lru_cache: one trace per
-    geometry, like the sym kernel factories)."""
+    geometry, like the sym kernel factories).
+
+    ``overlap=True`` selects the comm/compute-overlap protocol
+    (round-5, VERDICT r4 #7 — the ROADMAP-deferred design, built now so
+    the day multi-chip hardware appears the measurement is a script run):
+
+    - **data rows forward ON RECEIPT**: the moment phase d's payload
+      lands, its immutable data rows (posT + mass) start the RDMA to the
+      right neighbor — the phase-(d+1) hop rides the ICI *under* phase
+      d's compute instead of serializing before it (and the very first
+      hop rides under the SELF sweep).
+    - **travel rows trail one phase**: the j-side (N3L) partials cannot
+      forward until the host chip has added its contribution, so each
+      phase accumulates its ajT tiles into a private ``jacc`` workspace
+      during compute, waits for the (late) travel payload, folds
+      ``jacc`` in, and only then forwards the travel rows — they chase
+      the data wavefront exactly one compute phase behind.
+    - **flow control is unchanged in shape** (one ack per phase + one
+      prophylactic, drain at the end) but the ack ordering now carries
+      the proof burden: the k-th ack a chip emits is sent only after its
+      F_k payload sends completed, and a neighbor must consume k acks
+      before launching its (k+1)-th forward — so an incoming phase-(d+1)
+      payload can never overwrite the slot a still-in-flight F_d send is
+      reading (the two in-flight data DMAs per chip ride parity-split
+      semaphore pairs).
+    - Phases unroll as a PYTHON loop (d_final is static) so every slot
+      and semaphore index is static — no dynamic semaphore addressing
+      for Mosaic to reject.
+
+    Like the base protocol, P>1 lowering remains hardware-gated
+    (interpret-oracle-gated on CPU meshes; the relay compiles P=1 only,
+    where overlap degenerates to the self sweep)."""
     n_ib = c // block_i
     n_jt = c // block_u
     half = (p - 1) // 2
@@ -290,8 +322,8 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
         two_sided_phases = half
 
     def kernel(own_ref,
-               accT_ref, trav_ref, data_ref, ctrav_ref,
-               xi8_buf, jt_buf, at4_buf, tacc_buf,
+               accT_ref, trav_ref, data_ref, ctrav_ref, jacc_ref,
+               xi8_buf, jt_buf, at4_buf, tacc_buf, jacc_buf,
                ack_buf, copy_sem, send_sems, recv_sems,
                ack_send_sem, ack_recv_sem, ret_send_sem, ret_recv_sem):
         my_id = jax.lax.axis_index(axis)
@@ -319,11 +351,15 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
 
         masked_self = variant in ("turbo", "turbof", "turbo2", "mxu")
 
-        def stream_phase(slot, two_sided, first, self_phase=False):
+        def stream_phase(slot, two_sided, first, self_phase=False,
+                         to_jacc=False):
             """Local i-shard vs payload slot ``slot``: RMW ``accT_ref``
             (plain store when ``first``); ``two_sided`` also folds the
-            j-side into the slot's travel rows.  ``self_phase`` masks
-            self-pairs for the bf16-weight tiers (see _tile_i).
+            j-side into the slot's travel rows — or, under the overlap
+            protocol (``to_jacc``), into the private ``jacc`` workspace,
+            because the travel payload has not arrived yet while this
+            phase computes.  ``self_phase`` masks self-pairs for the
+            bf16-weight tiers (see _tile_i).
 
             Mosaic's tiled memrefs (HBM and VMEM alike) reject sub-tile
             SUBLANE slices and narrow-lane buffers — every buffer here
@@ -355,13 +391,15 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
                             jnp.int32, (block_i, block_u), 1))
                         mask = (i_ids != j_ids).astype(jnp.float32)
                     if two_sided:
-                        cp(ctrav_ref.at[slot].at[:, lane], tacc_buf)
+                        jref = (jacc_ref.at[:, lane] if to_jacc
+                                else ctrav_ref.at[slot].at[:, lane])
+                        cp(jref, tacc_buf)
                         ai, ajT = _tile_both(variant, xi, mci, xjT, mrj,
                                              eps2, block_i)
                         t4 = tacc_buf[...]
                         tacc_buf[...] = jnp.concatenate(
                             [t4[0:3, :] + ajT, t4[3:4, :]], axis=0)
-                        cp(tacc_buf, ctrav_ref.at[slot].at[:, lane])
+                        cp(tacc_buf, jref)
                     else:
                         ai = _tile_i(variant, xi, mci, xjT, mrj, eps2,
                                      mask=mask)
@@ -393,25 +431,37 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
             cp(tacc_buf,
                ctrav_ref.at[0].at[:, pl.ds(jt * block_u, block_u)])
 
-        # ---- self phase.
-        stream_phase(0, two_sided=False, first=True, self_phase=True)
-
-        if p == 1:
-            cp(ctrav_ref.at[0], trav_ref)
-            return
-
         def send_payload(d):
             """Forward slot (d-1)%2 to the right neighbor's slot d%2 —
             two concurrent RDMAs (data / travel), each on its own
-            semaphore pair so waits match descriptors."""
+            (ref, target-parity) semaphore pair so waits match
+            descriptors even when the overlap protocol keeps two data
+            DMAs in flight."""
             s, t = jax.lax.rem(d - 1, 2), jax.lax.rem(d, 2)
             return [
                 pltpu.make_async_remote_copy(
                     src_ref=ref.at[s], dst_ref=ref.at[t],
-                    send_sem=send_sems.at[k], recv_sem=recv_sems.at[k],
+                    send_sem=send_sems.at[k, t], recv_sem=recv_sems.at[k, t],
                     device_id=right,
                     device_id_type=pltpu.DeviceIdType.LOGICAL)
                 for k, ref in enumerate((data_ref, ctrav_ref))]
+
+        def _payload_dma(k, ref, d):
+            # Static-index twin of send_payload for the overlap path
+            # (phases unroll in Python, so slot/semaphore indices are
+            # compile-time constants).
+            s, t = (d - 1) % 2, d % 2
+            return pltpu.make_async_remote_copy(
+                src_ref=ref.at[s], dst_ref=ref.at[t],
+                send_sem=send_sems.at[k, t], recv_sem=recv_sems.at[k, t],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+        def data_dma(d):
+            return _payload_dma(0, data_ref, d)
+
+        def trav_dma(d):
+            return _payload_dma(1, ctrav_ref, d)
 
         def _ack_dma():
             return pltpu.make_async_remote_copy(
@@ -434,37 +484,88 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
             # identical 128-lane copies).
             _ack_dma().wait_recv()
 
-        # Prophylactic ack: every remote slot 1 starts free, so phase 1's
-        # gate is pre-satisfied; thereafter each phase emits exactly one
-        # ack after its forward completes and the drain below retires the
-        # final one — produced = consumed = d_final + 1 on every device,
-        # so all semaphores return to zero across kernel invocations.
-        send_ack()
-
-        def phase(d, two_sided):
+        if overlap and p > 1:
+            # ---- OVERLAP protocol (see factory docstring).  Ack
+            # accounting: produced = prophylactic + one per phase
+            # = d_final + 1 = consumed (prologue F_1 + one per
+            # F_{d+1} start + final drain); the k-th ack is emitted
+            # only after the F_k sends completed, and a neighbor
+            # consumes k acks before its (k+1)-th forward — the
+            # counting itself forbids overwriting a slot an in-flight
+            # send still reads.
+            send_ack()                       # prophylactic
             ack_consume()
-            dmas = send_payload(d)
-            for dma in dmas:
-                dma.start()
-            for dma in dmas:
-                dma.wait()      # send done AND phase-d payload received
+            data_dma(1).start()              # own data rides under the
+            trav_dma(1).start()              # self sweep (travel = zeros)
+            stream_phase(0, two_sided=False, first=True, self_phase=True)
+            for d in range(1, d_final + 1):
+                s = d % 2
+                data_dma(d).wait_recv()      # phase-d payload landed
+                if d < d_final:
+                    ack_consume()
+                    data_dma(d + 1).start()  # forward ON RECEIPT
+                two = (not one_sided) and d <= two_sided_phases
+                if two:
+                    # Zero the jacc workspace (travel has not arrived;
+                    # ajT accumulates privately during compute).
+                    jacc_buf[...] = jnp.zeros_like(jacc_buf)
+                    for jt in range(n_jt):
+                        cp(jacc_buf,
+                           jacc_ref.at[:, pl.ds(jt * block_u, block_u)])
+                stream_phase(s, two_sided=two, first=False, to_jacc=two)
+                trav_dma(d).wait_recv()      # travel trails one phase
+                if two:
+                    for jt in range(n_jt):
+                        lane = pl.ds(jt * block_u, block_u)
+                        cp(ctrav_ref.at[s].at[:, lane], tacc_buf)
+                        cp(jacc_ref.at[:, lane], jacc_buf)
+                        tacc_buf[...] = tacc_buf[...] + jacc_buf[...]
+                        cp(tacc_buf, ctrav_ref.at[s].at[:, lane])
+                data_dma(d).wait_send()
+                trav_dma(d).wait_send()
+                if d < d_final:
+                    trav_dma(d + 1).start()  # chases the data wavefront
+                send_ack()                   # slot (d-1)%2 fully free
+            ack_consume()                    # drain the final ack
+        else:
+            # ---- self phase, then the sequential protocol (v2
+            # baseline).
+            stream_phase(0, two_sided=False, first=True, self_phase=True)
+            if p == 1:
+                cp(ctrav_ref.at[0], trav_ref)
+                return
+            # Prophylactic ack: every remote slot 1 starts free, so
+            # phase 1's gate is pre-satisfied; thereafter each phase
+            # emits exactly one ack after its forward completes and the
+            # drain below retires the final one — produced = consumed =
+            # d_final + 1 on every device, so all semaphores return to
+            # zero across kernel invocations.
             send_ack()
-            stream_phase(jax.lax.rem(d, 2), two_sided=two_sided,
-                         first=False)
-            return 0
 
-        if two_sided_phases > 0:
-            jax.lax.fori_loop(
-                1, two_sided_phases + 1,
-                lambda d, _: phase(d, True), 0)
-        if one_sided:
-            if d_final > 0:
+            def phase(d, two_sided):
+                ack_consume()
+                dmas = send_payload(d)
+                for dma in dmas:
+                    dma.start()
+                for dma in dmas:
+                    dma.wait()  # send done AND phase-d payload received
+                send_ack()
+                stream_phase(jax.lax.rem(d, 2), two_sided=two_sided,
+                             first=False)
+                return 0
+
+            if two_sided_phases > 0:
                 jax.lax.fori_loop(
-                    1, d_final + 1, lambda d, _: phase(d, False), 0)
-        elif p % 2 == 0:
-            # Antipodal phase (even P): self-mirrored, one-sided.
-            phase(d_final, False)
-        ack_consume()           # drain the final ack
+                    1, two_sided_phases + 1,
+                    lambda d, _: phase(d, True), 0)
+            if one_sided:
+                if d_final > 0:
+                    jax.lax.fori_loop(
+                        1, d_final + 1, lambda d, _: phase(d, False), 0)
+            elif p % 2 == 0:
+                # Antipodal phase (even P): self-mirrored, one-sided.
+                phase(d_final, False)
+            ack_consume()       # drain the final ack
 
         # ---- return hop: travel rows go straight home (distance
         # d_final; ICI routes non-neighbor logical ids).  One-sided mode
@@ -484,12 +585,19 @@ def _make_ring_kernel(p: int, c: int, block_i: int, block_u: int,
 
 
 def rdma_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
-                      axis: str = SHARD_AXIS):
+                      axis: str = SHARD_AXIS, overlap: bool = False):
     """Per-shard ring force sweep with in-kernel RDMA (call inside
     shard_map).  Accepts the full sym ladder (N3L half-ring with a
     traveling accumulator) and the one-sided exact/turbo family (full
     ring, data-only payloads) at arbitrary shard sizes (HBM-resident,
-    tiles streamed to VMEM)."""
+    tiles streamed to VMEM).
+
+    ``overlap=True`` (comm='rdma_overlap') selects the comm/compute-
+    overlap protocol: data rows forward on receipt, travel rows trail
+    one phase (see ``_make_ring_kernel``).  Identical physics; the
+    travel partial sums fold in a different (still deterministic)
+    association order, so results differ from the sequential ring only
+    at rounding scale."""
     from .ring import _SYM_VARIANTS
     p = jax.lax.axis_size(axis)
     c = pos_l.shape[0]
@@ -510,7 +618,8 @@ def rdma_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
     interpret = jax.default_backend() != "tpu"
     use_barrier = (not interpret) and p > 1
     kernel = _make_ring_kernel(p, c, block_i, block_u, float(cfg.eps2),
-                               axis, variant, one_sided, use_barrier)
+                               axis, variant, one_sided, use_barrier,
+                               overlap)
     # The chip's own payload is pre-packed by XLA (wide plain f32 rows:
     # posT, mass, zero pad — NOT the narrow-bf16/SMEM shapes the
     # operand-ingestion platform bug corrupts; the compiled spot-check
@@ -525,24 +634,26 @@ def rdma_forces_local(pos_l, mass_l, cfg: SimConfig, impl: str,
     # built TRANSPOSED (4, C) and flipped back by XLA below.
     own = jnp.concatenate(
         [pos_l.T, mass_l[None, :], jnp.zeros((4, c), jnp.float32)], axis=0)
-    accT, trav, _, _ = pl.pallas_call(
+    accT, trav, _, _, _ = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((4, c), jnp.float32),
                    jax.ShapeDtypeStruct((4, c), jnp.float32),
                    jax.ShapeDtypeStruct((2, 8, c), jnp.float32),
-                   jax.ShapeDtypeStruct((2, 4, c), jnp.float32)),
+                   jax.ShapeDtypeStruct((2, 4, c), jnp.float32),
+                   jax.ShapeDtypeStruct((4, c), jnp.float32)),  # jacc ws
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(5)),
         scratch_shapes=[
             pltpu.VMEM((8, block_i), jnp.float32),   # xiT stage
             pltpu.VMEM((8, block_u), jnp.float32),   # payload tile stage
             pltpu.VMEM((4, block_i), jnp.float32),   # accT RMW stage
             pltpu.VMEM((4, block_u), jnp.float32),   # travel RMW stage
+            pltpu.VMEM((4, block_u), jnp.float32),   # jacc RMW stage
             pltpu.VMEM((1, 128), jnp.float32),       # ack token
             pltpu.SemaphoreType.DMA,                 # local copies
-            pltpu.SemaphoreType.DMA((2,)),           # payload sends
-            pltpu.SemaphoreType.DMA((2,)),           # payload recvs
+            pltpu.SemaphoreType.DMA((2, 2)),         # sends (ref, parity)
+            pltpu.SemaphoreType.DMA((2, 2)),         # recvs (ref, parity)
             pltpu.SemaphoreType.DMA,                 # ack send
             pltpu.SemaphoreType.DMA,                 # ack recv
             pltpu.SemaphoreType.DMA,                 # return send

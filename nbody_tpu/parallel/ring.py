@@ -201,6 +201,11 @@ def _local_force_fn(impl: str, comm: str):
     if comm == "rdma":
         from .rdma_ring import rdma_forces_local
         return rdma_forces_local
+    if comm == "rdma_overlap":
+        import functools as _ft
+
+        from .rdma_ring import rdma_forces_local
+        return _ft.partial(rdma_forces_local, overlap=True)
     if comm == "ring" and impl in _SYM_VARIANTS:
         return ring_forces_local_sym
     if comm == "ring":
@@ -264,11 +269,12 @@ def run_steps_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     the mesh, advanced entirely on-device, and unpadded on return (still
     sharded; pull with np.asarray when needed).
     """
-    if comm not in ("ring", "allgather", "rdma"):
+    if comm not in ("ring", "allgather", "rdma", "rdma_overlap"):
         raise ValueError(
-            f"comm must be 'ring', 'allgather', or 'rdma', got {comm!r}")
-    local_impl = _resolve_local_impl(impl, sym_default=comm == "rdma")
-    if comm == "rdma":
+            f"comm must be 'ring', 'allgather', 'rdma', or "
+            f"'rdma_overlap', got {comm!r}")
+    local_impl = _resolve_local_impl(impl, sym_default=comm.startswith("rdma"))
+    if comm.startswith("rdma"):
         # v2 accepts the full sym ladder (cross-chip N3L) and the
         # one-sided exact/turbo family; an EXPLICIT other impl fails
         # loudly here rather than silently swapping accuracy class
@@ -326,7 +332,7 @@ def prime_kdk_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
     cap, mirroring ``Simulation._run_chunk``'s step routing."""
     from ..ops.step import should_use_multiprog
     p = mesh.shape[axis]
-    local_impl = _resolve_local_impl(impl, sym_default=comm == "rdma")
+    local_impl = _resolve_local_impl(impl, sym_default=comm.startswith("rdma"))
     if (comm == "ring" and local_impl in _SYM_VARIANTS
             and should_use_multiprog(cfg, local_impl, n_devices=p)):
         from .multiprog import prime_kdk_sharded_multiprog
@@ -403,7 +409,7 @@ def run_trajectory_frames_sharded(
     n_real = state.n
     p = mesh.shape[axis]
     state = pad_state_to(state, shard_padding(cfg, p))
-    local_impl = _resolve_local_impl(impl, sym_default=comm == "rdma")
+    local_impl = _resolve_local_impl(impl, sym_default=comm.startswith("rdma"))
     mv, cu, cv = view if view is not None else (cfg.max_view, 0.0, 0.0)
 
     sharded = _sharded_frames_program(mesh, axis, cfg, n_steps,
@@ -413,6 +419,44 @@ def run_trajectory_frames_sharded(
                                     state.mass, view_arr)
     out = SimState(pos=pos, vel=vel, acc=acc, mass=state.mass)
     return unpad_state(out, n_real), frames
+
+
+def render_weights_sharded(state: SimState, cfg: SimConfig, mesh: Mesh,
+                           view: "tuple | None" = None,
+                           axis: str = SHARD_AXIS):
+    """One packed (H, W) uint8 weight-map render of a SHARDED state as a
+    standalone O(N) device program: each chip rasterizes its local shard,
+    maps max-combine across the mesh (``pmax`` — the rasterizer's own
+    brightest-point rule, so pixels are identical to rendering the
+    gathered state, and zero-mass ghost padding never draws).
+
+    This is the mesh-multiprog in-loop viz primitive (VERDICT r4
+    missing #1): a frame render is trivially cheap next to an O(N²)
+    step, so bounded-program runs dispatch it as its OWN program at the
+    viz cadence instead of gathering state to one chip or fusing a
+    render into a chunk.  The camera rides as a traced (3,) operand."""
+    p = mesh.shape[axis]
+    state = pad_state_to(state, shard_padding(cfg, p))
+    mv, cu, cv = view if view is not None else (cfg.max_view, 0.0, 0.0)
+    prog = _sharded_render_program(mesh, axis, cfg)
+    return prog(state.pos, state.mass,
+                jnp.asarray([mv, cu, cv], jnp.float32))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_render_program(mesh: Mesh, axis: str, cfg: SimConfig):
+    from ..viz.raster import render_weights
+
+    def local(pos_l, mass_l, view_arr):
+        w8 = render_weights(pos_l, mass_l, cfg.min_mass, cfg.max_mass,
+                            view_arr[0], cfg.viz_width, cfg.viz_height,
+                            2, view_arr[1], view_arr[2])
+        return jax.lax.pmax(w8.astype(jnp.int32), axis).astype(jnp.uint8)
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(P(axis), P(axis), P()),
+            out_specs=P(), check_vma=False))
 
 
 @functools.lru_cache(maxsize=32)
