@@ -12,6 +12,11 @@ Mosaic lowering rules; see docs/PERF.md).  Run after any rdma_ring.py
 change and on libtpu upgrades.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
