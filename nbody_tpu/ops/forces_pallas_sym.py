@@ -60,7 +60,8 @@ from ..models.state import round_up
 # reference's sharedMemPerBlock check, kernel.cu:637-641).
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
-SYM_VARIANTS = ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu")
+SYM_VARIANTS = ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu",
+                "turbop")
 
 # Variants whose kernels emit MASS-SCALED raw sums (the symmetric pair
 # weight F = m_i*m_j*inv is shared by both sides of each pair, so the
@@ -70,6 +71,21 @@ SYM_VARIANTS = ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu")
 # is the MXU twin: ONE bf16 weight matrix feeds both accumulation
 # matmuls (turbo builds two).
 _MASS_SCALED_VARIANTS = ("vpu2", "turbof")
+
+# ``turbop`` — turbo with the j-side accumulate chain DEFERRED one grid
+# step (round-5 headroom experiment, BASELINE.md turbo-SOL settlement):
+# the r10 peeling ablations priced turbo's j-side pass (fj bf16 cast +
+# xi8 pack + sublane-contracted matmul) at 17% of tile time, NOT hidden
+# under the VPU stream the way the lane-contracted i-matmul is.  turbop
+# stashes the tile's bf16(fj) / xi8 / xjT in VMEM scratch and issues the
+# matmul + dynamic-offset scatter at the TOP of the NEXT grid step, where
+# the chain has no dependency on that step's in-flight VPU pair terms —
+# if Mosaic can overlap an independent sublane-contraction chain with the
+# VPU wavefront, the j-pass rides free (ceiling ~473 G/s at 1M); if the
+# chain's cost is irreducible VPU issue slots (the cast and the implicit
+# operand relayout both run on vector hardware), turbop measures ~turbo.
+# Results are BIT-IDENTICAL to turbo (same math, same per-slot add order;
+# tested).  Scratch cost: (BI,U) bf16 + (BI,8) bf16 + (3,U) f32.
 
 # Bench-only ablation kernels (vpu_noj / vpu_fix0 / vpu_rc measurement
 # variants) live OUT of the production dispatch: ``ops/ablation_sym.py``
@@ -341,11 +357,14 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
     pallas_call traces the SAME kernel object -> one Mosaic compilation.)"""
     if variant in ABLATION_SYM_KERNELS:
         return ABLATION_SYM_KERNELS[variant](eps2, nb, sub, block_i, block_u)
-    if variant not in ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu"):
+    if variant not in ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu",
+                       "turbop"):
         raise ValueError(
             f"unknown sym variant {variant!r}: production variants are "
             f"{SYM_VARIANTS}; bench-only ablation variants register via "
             f"nbody_tpu.ops.ablation_sym.enable()")
+    if variant == "turbop":
+        return _make_sym_kernel_turbop(eps2, nb, sub, block_i, block_u)
 
     def body(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, pos_j_ref,
              mass_col_j_ref, acc_i_ref, acc_jT_ref):
@@ -428,6 +447,133 @@ def _make_sym_kernel(variant, eps2, nb, sub, block_i, block_u):
         body(pos_i_ref, mass_col_ref, posT_ref, None, pos_j_ref,
              mass_col_j_ref, acc_i_ref, acc_jT_ref)
     return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sym_kernel_turbop(eps2, nb, sub, block_i, block_u):
+    """Triangular turbop kernel (see the ``turbop`` ladder note): turbo
+    math with the j-side accumulate chain deferred one grid step through
+    VMEM scratch.  Grid (I, si, dd) like classic; the scratch carries the
+    PREVIOUS tile's bf16(fj) / xi8 / xjT, and the deferred scatter slot is
+    reconstructed from the previous step's program ids.  The last grid
+    step flushes its predecessor AND runs its own j-pass synchronously.
+    Bit-identical to turbo (same values, same per-slot add order)."""
+    du = (nb - 1) // 2
+
+    def kernel(pos_i_ref, mass_col_ref, posT_ref, mass_row_ref, pos_j_ref,
+               acc_i_ref, acc_jT_ref, fjb_ref, xi8_ref, xjp_ref):
+        i_sb = pl.program_id(0)
+        si = pl.program_id(1)
+        dd = pl.program_id(2)
+        first = jnp.logical_and(
+            jnp.logical_and(i_sb == 0, si == 0), dd == 0)
+        last = jnp.logical_and(
+            jnp.logical_and(i_sb == nb - 1, si == sub - 1), dd == du - 1)
+
+        @pl.when(first)
+        def _():
+            acc_jT_ref[...] = jnp.zeros_like(acc_jT_ref)
+
+        @pl.when(dd == 0)
+        def _():
+            acc_i_ref[:] = jnp.zeros_like(acc_i_ref)
+
+        # Flush the previous tile's deferred j accumulate: an MXU chain
+        # with no dependency on this step's VPU pair terms below.
+        @pl.when(jnp.logical_not(first))
+        def _():
+            p_i = jnp.where(jnp.logical_or(dd > 0, si > 0), i_sb, i_sb - 1)
+            p_dd = jnp.where(dd > 0, dd - 1, jnp.int32(du - 1))
+            j_prev = jax.lax.rem(p_i + 1 + p_dd, jnp.int32(nb))
+            out8 = jax.lax.dot_general(
+                xi8_ref[:], fjb_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (8, U)
+            aj = ((out8[0:3, :] + out8[3:6, :])
+                  - xjp_ref[:] * out8[6:7, :])
+            _scatter_add(acc_jT_ref, j_prev, aj)
+
+        xi = pos_i_ref[:]                   # (BI, 3)
+        xjT = posT_ref[:]                   # (3, U)
+        j_sb = jax.lax.rem(i_sb + 1 + dd, jnp.int32(nb))
+        dx, dy, dz, fi, fj = _pair_terms(
+            xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+        del dx, dy, dz
+        acc_i_ref[:] += _accum_i_turbo(fi, xi, pos_j_ref[:], block_u)
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            fjb_ref[:] = fj.astype(jnp.bfloat16)
+            xi8_ref[:] = _pack8(xi, block_i)
+            xjp_ref[:] = xjT
+
+        @pl.when(last)
+        def _():
+            _scatter_add(acc_jT_ref, j_sb,
+                         _accum_j_turbo(fj, xi, xjT, block_i))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rect_kernel_turbop(eps2, block_i, block_u):
+    """Rectangular turbop kernel: grid (ia, jb), j chain deferred one
+    step (see ``_make_sym_kernel_turbop``).  acc_bT is resident for the
+    whole kernel, so deferral across the ia boundary is safe."""
+
+    def kernel(pos_a_ref, mass_col_ref, posT_b_ref, mass_row_ref,
+               pos_b_ref, acc_a_ref, acc_bT_ref, fjb_ref, xi8_ref,
+               xjp_ref):
+        ia = pl.program_id(0)
+        jb = pl.program_id(1)
+        na = pl.num_programs(0)
+        nbb = pl.num_programs(1)
+        first = jnp.logical_and(ia == 0, jb == 0)
+        last = jnp.logical_and(ia == na - 1, jb == nbb - 1)
+
+        @pl.when(first)
+        def _():
+            acc_bT_ref[...] = jnp.zeros_like(acc_bT_ref)
+
+        @pl.when(jb == 0)
+        def _():
+            acc_a_ref[:] = jnp.zeros_like(acc_a_ref)
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            j_prev = jnp.where(jb > 0, jb - 1, nbb - 1)
+            out8 = jax.lax.dot_general(
+                xi8_ref[:], fjb_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (8, U)
+            aj = ((out8[0:3, :] + out8[3:6, :])
+                  - xjp_ref[:] * out8[6:7, :])
+            _scatter_add(acc_bT_ref, j_prev, aj)
+
+        xi = pos_a_ref[:]
+        xjT = posT_b_ref[:]
+        dx, dy, dz, fi, fj = _pair_terms(
+            xi, xjT, mass_row_ref[:], mass_col_ref[:], eps2)
+        del dx, dy, dz
+        acc_a_ref[:] += _accum_i_turbo(fi, xi, pos_b_ref[:], block_u)
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            fjb_ref[:] = fj.astype(jnp.bfloat16)
+            xi8_ref[:] = _pack8(xi, block_i)
+            xjp_ref[:] = xjT
+
+        @pl.when(last)
+        def _():
+            _scatter_add(acc_bT_ref, jb,
+                         _accum_j_turbo(fj, xi, xjT, block_i))
+
+    return kernel
+
+
+_TURBOP_SCRATCH = (lambda block_i, block_u, dtype: [
+    pltpu.VMEM((block_i, block_u), jnp.bfloat16),
+    pltpu.VMEM((block_i, 8), jnp.bfloat16),
+    pltpu.VMEM((3, block_u), dtype),
+])
 
 
 @functools.lru_cache(maxsize=None)
@@ -543,6 +689,8 @@ def _make_rect_kernel(variant, eps2, block_i, block_u):
     jb), acc_bT resident."""
     if variant in ABLATION_RECT_KERNELS:
         return ABLATION_RECT_KERNELS[variant](eps2, block_i, block_u)
+    if variant == "turbop":
+        return _make_rect_kernel_turbop(eps2, block_i, block_u)
     if variant not in ("vpu", "vpu2", "turbo", "turbof", "turbo2", "mxu"):
         raise ValueError(
             f"unknown sym variant {variant!r}: production variants are "
@@ -728,7 +876,7 @@ def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
                          lambda I, si, dd, _nb=nb: (0, (I + 1 + dd) % _nb),
                          memory_space=pltpu.VMEM))
         operands.append(mass_row_p)
-    if variant in ("turbo", "turbof", "turbo2", "mxu"):
+    if variant in ("turbo", "turbof", "turbo2", "mxu", "turbop"):
         in_specs.append(
             pl.BlockSpec((block_u, 3),
                          lambda I, si, dd, _nb=nb: ((I + 1 + dd) % _nb, 0),
@@ -756,6 +904,8 @@ def _sym_call(pos_p, mass_col_p, posT_p, mass_row_p, *, eps2, nb,
             jax.ShapeDtypeStruct((m, 3), pos_p.dtype),
             jax.ShapeDtypeStruct((nb, 3, block_u), pos_p.dtype),
         ],
+        scratch_shapes=(_TURBOP_SCRATCH(block_i, block_u, pos_p.dtype)
+                        if variant == "turbop" else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -826,7 +976,7 @@ def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, mass_col_b, *,
             pl.BlockSpec((1, block_u), lambda ia, jb: (0, jb),
                          memory_space=pltpu.VMEM))
         operands.append(mass_row_b)
-    if variant in ("turbo", "turbof", "turbo2", "mxu"):
+    if variant in ("turbo", "turbof", "turbo2", "mxu", "turbop"):
         in_specs.append(
             pl.BlockSpec((block_u, 3), lambda ia, jb: (jb, 0),
                          memory_space=pltpu.VMEM))
@@ -850,6 +1000,8 @@ def _rect_call(pos_a, mass_col_a, posT_b, mass_row_b, pos_b, mass_col_b, *,
             jax.ShapeDtypeStruct((ma, 3), pos_a.dtype),
             jax.ShapeDtypeStruct((nb_b, 3, block_u), pos_a.dtype),
         ],
+        scratch_shapes=(_TURBOP_SCRATCH(block_i, block_u, pos_a.dtype)
+                        if variant == "turbop" else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -882,7 +1034,7 @@ def resolve_block_u(block_u: "int | None", n: int,
     2048 at large N (275.6 vs 267.0 at 1M, scripts/r5_mxu.py)."""
     if block_u is not None:
         return block_u
-    if variant in ("turbo", "turbof", "turbo2"):
+    if variant in ("turbo", "turbof", "turbo2", "turbop"):
         # 2048 wins from 131k up (385.1 vs 377.2 at 131k, 398.7 vs 389.4
         # at 262k, 414.5 vs 389 at 1M); at 65k the duration-targeted
         # re-measure flips it to 1536 (367.0 vs 361.7 — the earlier
@@ -971,7 +1123,8 @@ def _panel_layout(n, block_u, max_nb):
     return best[1], best[2]
 
 
-def _validate_sym_blocks(block_i, block_u, nb, schedule="classic"):
+def _validate_sym_blocks(block_i, block_u, nb, schedule="classic",
+                         variant="vpu"):
     if block_i % 8 != 0:
         raise ValueError(f"block_i must be a multiple of 8, got {block_i}")
     if block_u % 128 != 0:
@@ -997,6 +1150,10 @@ def _validate_sym_blocks(block_i, block_u, nb, schedule="classic"):
         # (U,3) acc_i output resident per I (double-buffered across I
         # transitions, lane-padded 3->128) plus a (3,U) scratch.
         total += 2 * 2 * block_u * 128 * 4 + 8 * block_u * 4
+    if variant == "turbop":
+        # Deferred j-chain scratch: (BI,U) bf16 + (BI,8->128) bf16 +
+        # (3->8,U) f32.
+        total += block_i * block_u * 2 + block_i * 128 * 2 + 8 * block_u * 4
     if total > _VMEM_BUDGET_BYTES:
         raise ValueError(
             f"sym kernel working set ~{total / 1e6:.1f} MB exceeds VMEM "
@@ -1104,7 +1261,7 @@ def rect_forces_sym(pos_a: jax.Array, mass_a: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nb_b, panels = _rect_panel_layout(nb_real, block_u, panel_nb)
-    _validate_sym_blocks(block_i, block_u, nb_b, schedule)
+    _validate_sym_blocks(block_i, block_u, nb_b, schedule, variant)
     na_pad = round_up(na, block_i)
     nb_pad = panels * nb_b * block_u
     pos_a_p = jnp.pad(pos_a, ((0, na_pad - na), (0, 0)))
@@ -1282,7 +1439,7 @@ def forces_pallas_sym_chunked_flat(
     if panel_nb is None:
         panel_nb = default_panel_nb(block_u)
     nb, panels = _panel_layout(n, block_u, panel_nb)
-    _validate_sym_blocks(block_i, block_u, nb, schedule)
+    _validate_sym_blocks(block_i, block_u, nb, schedule, variant)
     n_pad = panels * nb * block_u
     pad = n_pad - n
     pos_flat = jnp.pad(pos_flat, (0, 3 * pad))
@@ -1363,7 +1520,7 @@ def forces_pallas_sym(pos: jax.Array, mass: jax.Array, eps2: float,
     if panel_nb is None:
         panel_nb = default_panel_nb(block_u)
     nb, panels = _panel_layout(n, block_u, panel_nb)
-    _validate_sym_blocks(block_i, block_u, nb, schedule)
+    _validate_sym_blocks(block_i, block_u, nb, schedule, variant)
     n_pad = panels * nb * block_u
     pad = n_pad - n
     pos_p = jnp.pad(pos, ((0, pad), (0, 0)))

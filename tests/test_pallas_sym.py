@@ -505,6 +505,26 @@ def test_sym_turbof_multi_panel():
     assert np.percentile(err, 99) < 5e-2
 
 
+@pytest.mark.parametrize("n,bi,bu,pnb", [
+    (1024, 64, 128, None),     # single panel: triangular turbop kernel
+    (2048, 64, 128, 3),        # multi-panel: rect turbop kernels
+    (700, 64, 128, None),      # ragged N -> ghost padding
+])
+def test_sym_turbop_bit_equals_turbo(n, bi, bu, pnb):
+    """turbop (j-side accumulate chain deferred one grid step through VMEM
+    scratch) is BIT-identical to turbo: same math, same per-slot add order
+    — only the grid step in which each tile's j matmul+scatter executes
+    moves.  Bit-equality makes turbo's oracle contract transfer whole."""
+    pos, _, mass = make_small_system(n, seed=41)
+    a_t = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=bi, block_u=bu,
+        panel_nb=pnb, variant="turbo"))
+    a_p = np.asarray(forces_pallas_sym(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, block_i=bi, block_u=bu,
+        panel_nb=pnb, variant="turbop"))
+    assert np.array_equal(a_t, a_p)
+
+
 def test_chunked_progress_callback():
     """The bounded dispatcher reports (done, total) after each program and the
     callback's presence must not change results (huge-N heartbeat hook)."""
