@@ -525,6 +525,21 @@ def test_sym_turbop_bit_equals_turbo(n, bi, bu, pnb):
     assert np.array_equal(a_t, a_p)
 
 
+def test_sym_turbop_chunked_bit_equals_turbo():
+    """turbop through the bounded dispatcher (the batch programs reuse the
+    same _sym_call/_rect_call wrappers, so the scratch plumbing must hold
+    under scan-over-dynamic-offsets too)."""
+    from nbody_tpu.ops.forces_pallas_sym import forces_pallas_sym_chunked
+    pos, _, mass = make_small_system(2048, seed=42)
+    kw = dict(block_i=64, block_u=128, panel_nb=3,
+              max_prog_interactions=4e5)
+    a_t = np.asarray(forces_pallas_sym_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, variant="turbo", **kw))
+    a_p = np.asarray(forces_pallas_sym_chunked(
+        jnp.asarray(pos), jnp.asarray(mass), EPS2, variant="turbop", **kw))
+    assert np.array_equal(a_t, a_p)
+
+
 def test_chunked_progress_callback():
     """The bounded dispatcher reports (done, total) after each program and the
     callback's presence must not change results (huge-N heartbeat hook)."""
