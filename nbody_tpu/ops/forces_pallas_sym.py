@@ -1034,7 +1034,13 @@ def resolve_block_u(block_u: "int | None", n: int,
     2048 at large N (275.6 vs 267.0 at 1M, scripts/r5_mxu.py)."""
     if block_u is not None:
         return block_u
-    if variant in ("turbo", "turbof", "turbo2", "turbop"):
+    if variant == "turbop":
+        # turbop's deferral scratch ((BI,U) bf16 + packs) busts the VMEM
+        # budget at U=2048 under DEFAULT panels (estimate ~16.1 MB > 14;
+        # 2048 needs panel_nb<=25, scripts/r12_jpipe.py) — auto resolves
+        # to the largest tile that fits the default panel budget.
+        return 1536 if n >= 65536 else 1024
+    if variant in ("turbo", "turbof", "turbo2"):
         # 2048 wins from 131k up (385.1 vs 377.2 at 131k, 398.7 vs 389.4
         # at 262k, 414.5 vs 389 at 1M); at 65k the duration-targeted
         # re-measure flips it to 1536 (367.0 vs 361.7 — the earlier
