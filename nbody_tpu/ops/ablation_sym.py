@@ -41,10 +41,16 @@ ABLATION_NAMES = ("vpu_noj", "vpu_fix0", "vpu_rc",
 
 # Turbo MXU-chain ablations (round 5, VERDICT r4 weak #5 — the turbo SOL
 # settlement).  The production turbo tile is VPU pair-terms + two bf16
-# accumulate-matmuls whose input `f` is produced by the VPU in the SAME
-# grid step (Mosaic cannot overlap a matmul with the VPU work that feeds
-# it), so the roofline question is "how much tile time do the matmul
-# passes add to the VPU floor?".  These four variants peel the chain:
+# accumulate-matmuls consuming the VPU-produced `f` in the SAME grid
+# step; these four variants peel the chain to price each pass.  What the
+# measurements settled (BASELINE.md turbo-SOL settlement + addendum):
+# the LANE-contracted i-side matmul is fully hidden under the VPU stream
+# (Mosaic pipelines it against its own producer — the pre-settlement
+# assumption that it could not was wrong), while the j-side pass (fj
+# cast + xi8 pack + SUBLANE-contracted matmul) costs 17% of tile time
+# and is irreducible: deferring it one grid step (`turbop`,
+# forces_pallas_sym.py) measured -10.7%, and every shared-weight
+# reformulation (turbof/turbo2) also loses.
 #
 #   tmm_full   — full turbo math, but with the (U,3) j-positions
 #                RECONSTRUCTED in-kernel by transposing the (3,U) tile

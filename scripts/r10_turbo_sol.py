@@ -3,10 +3,12 @@ tile's MXU chain with peeling ablations and close the roofline.
 
 The production `pallas_sym_turbo` tile is VPU pair-terms (14 f32
 flops/pair) followed by two bf16 accumulate-matmuls consuming the
-VPU-produced `f` in the SAME grid step — Mosaic cannot overlap a matmul
-with the VPU work that feeds it, so the open question from the exact-339
-and mxu-276 closures is how much tile time the matmul passes add to the
-VPU floor, and whether 414.5 G/s at 1M has headroom.
+VPU-produced `f` in the SAME grid step; the open question from the
+exact-339 and mxu-276 closures is how much tile time the matmul passes
+add to the VPU floor, and whether 414.5 G/s at 1M has headroom.
+(Answered by these rows + the r12 turbop experiment: the i-side matmul
+is fully hidden — Mosaic pipelines it against its own producer — and
+the j-side pass is 17% irreducible; see the BASELINE.md settlement.)
 
 Chain (force-only evals, N=1M, the production 512x2048 tiles, best of 3
 x 10-eval scans, device_get-timed):
